@@ -1,0 +1,141 @@
+"""SO(3) toolkit tests: round-trips, Taylor-branch continuity, oracles.
+
+Fixture strategy from SURVEY.md §4(b): exp/log round-trip identities,
+geodesic(R, R) = 0, and continuity across the Taylor switch points
+(theta^2 = 1e-2 for exp, theta = 1e-2 for log), cross-checked against a
+float64 numpy Rodrigues oracle (the reference runs the same math in float64
+TF, losses/angular_distance_taylor.py).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from cloudaae_tpu import so3
+
+
+def np_rodrigues(axag):
+    """float64 numpy oracle for the exponential map."""
+    axag = np.asarray(axag, np.float64)
+    theta = np.linalg.norm(axag, axis=-1, keepdims=True)
+    out = np.zeros(axag.shape[:-1] + (3, 3))
+    for i in np.ndindex(axag.shape[:-1]):
+        t = theta[i][0]
+        if t < 1e-12:
+            out[i] = np.eye(3)
+            continue
+        k = axag[i] / t
+        kx = np.array([[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]])
+        out[i] = np.eye(3) + np.sin(t) * kx + (1 - np.cos(t)) * (kx @ kx)
+    return out
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
+
+
+def test_skew_unskew_roundtrip(rng):
+    v = rng.normal(size=(7, 3)).astype(np.float32)
+    s = so3.skew(jnp.asarray(v))
+    assert np.allclose(np.asarray(s), -np.swapaxes(np.asarray(s), -1, -2))
+    assert np.allclose(np.asarray(so3.unskew(s)), v)
+
+
+def test_exp_map_matches_numpy_oracle(rng):
+    axag = rng.normal(size=(64, 3)).astype(np.float32)
+    got = np.asarray(so3.exp_map(jnp.asarray(axag)))
+    want = np_rodrigues(axag)
+    assert np.max(np.abs(got - want)) < 1e-5
+
+
+def test_exp_map_small_angles_taylor_branch(rng):
+    # angles straddling theta^2 = 1e-2 (theta = 0.1)
+    thetas = np.array([0.0, 1e-6, 1e-3, 0.09, 0.0999, 0.1001, 0.11, 0.2])
+    axis = np.array([1.0, 2.0, -0.5])
+    axis /= np.linalg.norm(axis)
+    axag = (thetas[:, None] * axis).astype(np.float32)
+    got = np.asarray(so3.exp_map(jnp.asarray(axag)))
+    want = np_rodrigues(axag)
+    assert np.max(np.abs(got - want)) < 1e-6
+
+
+def test_exp_log_roundtrip(rng):
+    # stay away from theta = pi where log is degenerate (same as reference)
+    axag = rng.normal(size=(128, 3)).astype(np.float32)
+    norms = np.linalg.norm(axag, axis=-1, keepdims=True)
+    axag = axag / norms * np.minimum(norms, 2.8)
+    R = so3.exp_map(jnp.asarray(axag))
+    back, theta = so3.log_map(R)
+    assert np.allclose(np.asarray(back), axag, atol=2e-3)
+    assert np.allclose(np.asarray(theta), np.linalg.norm(axag, axis=-1), atol=1e-3)
+
+
+def test_log_map_small_angle_branch():
+    thetas = np.array([0.0, 1e-5, 5e-3, 0.0099, 0.0101, 0.02])
+    axis = np.array([0.0, 0.0, 1.0])
+    axag = (thetas[:, None] * axis).astype(np.float32)
+    R = so3.exp_map(jnp.asarray(axag))
+    back, theta_out = so3.log_map(R)
+    assert np.allclose(np.asarray(back), axag, atol=1e-5)
+
+
+def test_rotation_error_zero_for_identical(rng):
+    axag = rng.normal(size=(16, 3)).astype(np.float32) * 0.5
+    mean, per = so3.rotation_error(jnp.asarray(axag), jnp.asarray(axag))
+    # acos clamp at 0.9999999 floors the self-distance at ~4.5e-4 rad,
+    # identical to the reference (angular_distance_taylor.py:81)
+    assert float(mean) < 1e-3
+    assert per.shape == (16,)
+
+
+def test_rotation_error_known_angle():
+    # rotate about z by 0.7 rad vs identity -> geodesic distance 0.7
+    a = np.array([[0.0, 0.0, 0.7]], np.float32)
+    b = np.zeros((1, 3), np.float32)
+    mean, _ = so3.rotation_error(jnp.asarray(a), jnp.asarray(b))
+    assert abs(float(mean) - 0.7) < 1e-5
+
+
+def test_translation_error():
+    pred = jnp.asarray([[1.0, 2.0, 2.0]])
+    label = jnp.zeros((1, 3))
+    mean, per = so3.translation_error(pred, label)
+    assert abs(float(mean) - 3.0) < 1e-6
+
+
+def test_quat_axag_roundtrip(rng):
+    axag = rng.normal(size=(64, 3)).astype(np.float32)
+    norms = np.linalg.norm(axag, axis=-1, keepdims=True)
+    axag = axag / norms * np.minimum(norms, 3.0)
+    q = so3.axag_to_quat(jnp.asarray(axag))
+    back = so3.quat_to_axag(q)
+    assert np.allclose(np.asarray(back), axag, atol=1e-5)
+
+
+def test_quat_to_mat_consistent_with_exp_map(rng):
+    axag = rng.normal(size=(32, 3)).astype(np.float32)
+    R1 = so3.exp_map(jnp.asarray(axag))
+    R2 = so3.quat_to_mat(so3.axag_to_quat(jnp.asarray(axag)))
+    assert np.max(np.abs(np.asarray(R1) - np.asarray(R2))) < 1e-5
+
+
+def test_quat_to_axag_matches_scipy(rng):
+    from scipy.spatial.transform import Rotation
+
+    q_xyzw = Rotation.random(50, rng).as_quat()  # scipy: (x, y, z, w)
+    q_wxyz = np.roll(q_xyzw, 1, axis=-1).astype(np.float32)
+    got = np.asarray(so3.quat_to_axag(jnp.asarray(q_wxyz)))
+    want = Rotation.from_quat(q_xyzw).as_rotvec()
+    assert np.max(np.abs(got - want)) < 1e-4
+
+
+def test_transform_points(rng):
+    pts = rng.normal(size=(4, 100, 3)).astype(np.float32)
+    axag = rng.normal(size=(4, 3)).astype(np.float32)
+    t = rng.normal(size=(4, 3)).astype(np.float32)
+    R = so3.exp_map(jnp.asarray(axag))
+    out = so3.transform_points(jnp.asarray(pts), R, jnp.asarray(t))
+    want = np.einsum("bij,bnj->bni", np.asarray(R), pts) + t[:, None]
+    assert np.max(np.abs(np.asarray(out) - want)) < 1e-5
