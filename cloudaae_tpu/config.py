@@ -143,6 +143,8 @@ class ModelConfig:
     bn_decay_step: float = 40.0
     bn_decay_clip: float = 0.99
     aggregation: str = "mean"           # 'mean' | 'max' variants in the zoo
+    encoder: str = "dgcnn"              # 'dgcnn' | 'pointnet' (get_model_pn)
+    with_heads: bool = True             # False = plain autoencoder variants
     vae: bool = False                   # get_model_dgcnn_mean_vae variant
     recon_channels: int = 3             # 5 for the `_hand` 3+2-channel variant
 
