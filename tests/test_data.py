@@ -1,0 +1,99 @@
+"""Data-layer tests: TFRecord codec round-trips, cross-checks against
+TensorFlow's own reader/writer, and parsing the real shipped records.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from cloudaae_tpu.data import tfrecord
+from cloudaae_tpu.data.ycb import PoseBatcher, load_object_models, load_pose_records
+
+REF = "/root/reference"
+OBJ_MODELS = os.path.join(REF, "object_model_tfrecord/obj_models.tfrecords")
+TRAIN_SYN = os.path.join(REF, "ycb_video_data_tfRecords/train_syn")
+
+
+def test_crc32c_known_vectors():
+    # RFC 3720 test vector: 32 bytes of zeros -> 0x8a9136aa
+    assert tfrecord.crc32c(b"\x00" * 32) == 0x8A9136AA
+    assert tfrecord.crc32c(b"123456789") == 0xE3069283
+
+
+def test_example_roundtrip(tmp_path):
+    feats = {
+        "floats": np.arange(12, dtype=np.float32).reshape(3, 4),
+        "ints": np.array([1, -2, 3], np.int64),
+        "blob": b"hello",
+    }
+    payload = tfrecord.example_bytes(feats)
+    parsed = tfrecord.parse_example(payload)
+    assert np.allclose(parsed["floats"].float_list, feats["floats"].ravel())
+    assert np.array_equal(parsed["ints"].int64_list, feats["ints"])
+    assert parsed["blob"].bytes_list == [b"hello"]
+
+    path = str(tmp_path / "rt.tfrecords")
+    n = tfrecord.write_tfrecord(path, [payload, payload])
+    assert n == 2
+    back = list(tfrecord.iter_tfrecord(path, verify=True))
+    assert back == [payload, payload]
+
+
+def test_tensorflow_can_read_our_records(tmp_path):
+    tf = pytest.importorskip("tensorflow")
+    path = str(tmp_path / "ours.tfrecords")
+    payload = tfrecord.example_bytes(
+        {"x": np.array([1.5, -2.5], np.float32), "n": np.array([7], np.int64)}
+    )
+    tfrecord.write_tfrecord(path, [payload])
+    ds = list(tf.data.TFRecordDataset(path))
+    ex = tf.io.parse_single_example(
+        ds[0],
+        {
+            "x": tf.io.FixedLenFeature([2], tf.float32),
+            "n": tf.io.FixedLenFeature([], tf.int64),
+        },
+    )
+    assert np.allclose(ex["x"].numpy(), [1.5, -2.5])
+    assert int(ex["n"].numpy()) == 7
+
+
+@pytest.mark.skipif(not os.path.exists(OBJ_MODELS), reason="reference data absent")
+def test_load_real_object_models():
+    models = load_object_models(OBJ_MODELS)
+    assert models.shape == (21, 2048, 6)
+    # xyz extents are object-sized (cm..dm); rgb in [0, 1]
+    extents = models[..., :3].max(1) - models[..., :3].min(1)
+    assert (extents > 0.01).all() and (extents < 0.5).all()
+    assert models[..., 3:].min() >= 0.0 and models[..., 3:].max() <= 1.0
+
+
+@pytest.mark.skipif(not os.path.exists(TRAIN_SYN), reason="reference data absent")
+def test_load_real_pose_records_single_class():
+    poses = load_pose_records(TRAIN_SYN, classes=[0])
+    n = len(poses["class_id"])
+    assert n > 10000  # ~18k per class
+    assert (poses["class_id"] == 0).all()
+    assert poses["translation"].shape == (n, 3)
+    # translations in the YCB frustum (z between near and far-ish)
+    z = poses["translation"][:, 2]
+    assert 0.3 < z.mean() < 1.2
+    # axis-angle magnitudes <= pi
+    mags = np.linalg.norm(poses["axisangle"], axis=-1)
+    assert mags.max() <= np.pi + 1e-4
+
+
+def test_pose_batcher():
+    poses = {
+        "translation": np.random.rand(1000, 3).astype(np.float32),
+        "axisangle": np.random.rand(1000, 3).astype(np.float32),
+        "class_id": np.random.randint(0, 21, 1000).astype(np.int32),
+    }
+    b = PoseBatcher(poses, batch_size=128)
+    batches = list(b.epoch())
+    assert len(batches) == 7  # drop remainder
+    assert batches[0][0].shape == (128, 3)
+    # different epochs shuffle differently
+    b2 = list(b.epoch())
+    assert not np.allclose(batches[0][0], b2[0][0])
