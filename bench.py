@@ -1,0 +1,88 @@
+"""Headline benchmark: end-to-end synthesized-and-trained samples/sec.
+
+Measures the fused train step (on-device synthesis -> DGCNN fwd/bwd ->
+Adam) at the reference's production config (B=128, N=256, 21 classes,
+2048-pt models, 2x200-pt occluders) on the attached TPU, against the
+reference's only hard throughput number: ~148 synthesized+trained
+samples/sec end-to-end on its 2020 single-GPU setup
+(381,553 records / ~2580 s per epoch, BASELINE.md).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+BASELINE_SAMPLES_PER_SEC = 148.0  # BASELINE.md: derived from log_train.txt
+
+
+def main():
+    import jax
+
+    from cloudaae_tpu.config import Config
+    from cloudaae_tpu.data import load_object_models
+    from cloudaae_tpu.models import make_model
+    from cloudaae_tpu.parallel import (
+        create_train_state,
+        make_mesh,
+        make_train_step,
+        shard_batch,
+    )
+
+    cfg = Config()
+    obj_models = load_object_models(
+        "/root/reference/object_model_tfrecord/obj_models.tfrecords"
+    )
+    model = make_model(cfg.model)
+    state = create_train_state(model, cfg, jax.random.key(0))
+    step_fn = make_train_step(model, cfg, obj_models)
+    mesh = make_mesh(dp=-1, tp=1)
+
+    rng = np.random.default_rng(0)
+    b = cfg.train.batch_size
+    batch = shard_batch(
+        mesh,
+        (
+            np.concatenate(
+                [rng.normal(0, 0.04, (b, 2)), rng.uniform(0.6, 0.9, (b, 1))],
+                axis=1,
+            ).astype(np.float32),
+            rng.normal(0, 1.2, (b, 3)).astype(np.float32),
+            rng.integers(0, cfg.model.num_class, b).astype(np.int32),
+        ),
+    )
+
+    key = jax.random.key(1)
+    # warmup / compile
+    for _ in range(3):
+        key, sub = jax.random.split(key)
+        state, m = step_fn(state, batch, sub)
+    jax.block_until_ready(m["total_loss"])
+
+    iters = 30
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        key, sub = jax.random.split(key)
+        state, m = step_fn(state, batch, sub)
+    jax.block_until_ready(m["total_loss"])
+    dt = time.perf_counter() - t0
+
+    samples_per_sec = iters * b / dt
+    print(
+        json.dumps(
+            {
+                "metric": "train_samples_per_sec_e2e",
+                "value": round(samples_per_sec, 1),
+                "unit": "synthesized+trained samples/sec/chip (B=128, N=256)",
+                "vs_baseline": round(samples_per_sec / BASELINE_SAMPLES_PER_SEC, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

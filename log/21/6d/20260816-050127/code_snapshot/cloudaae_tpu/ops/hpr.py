@@ -1,0 +1,205 @@
+"""Hidden point removal (HPR) — ConvexHull-free, fully on-device.
+
+The reference implements Katz et al.'s HPR operator as a TF spherical flip
+followed by a *host* ``scipy.spatial.ConvexHull`` inside ``tf.py_func``
+(utils/hidden_point_removal.py:6-48) — the single host-bound bottleneck of
+its training pipeline (SURVEY.md §3.1).  This module replaces the hull with
+an equivalent test that is pure matmul + elementwise work on device.
+
+Reformulation.  The spherical flip maps p to ``f(p) = s(p) * p_hat`` with
+flipped radius ``s(p) = 2R - |p|`` (direction preserved).  A point is
+HPR-visible iff f(p) is a vertex of the convex hull of the flipped cloud
+plus the origin, i.e. iff f(p) maximizes the support function in *some*
+direction d:
+
+    visible(p)  <=>  max_{|d|<=1}  [ <f(p), d> - max_q <f(q), d> ]  >  0
+
+The bracketed margin m_p(d) is *concave* in d (linear minus a max of
+linears), so the inner maximization is a global concave problem solved by
+projected subgradient ascent from the warm start d = p_hat:
+
+    q* = argmax_q <f(q), d>;   d <- normalize(d + eta_k (f(p) - f(q*)))
+
+Each iteration for all N points at once is one (N,3)x(3,N) matmul + row max
+— the same O(N^2) shape as the Chamfer kernel.  Against the exact scipy hull
+oracle this reaches ~0.97 visibility IoU with zero false positives at 30
+iterations (tests/test_hpr.py); iterations are a quality/speed knob
+(config.SynthConfig.hpr_iters).
+
+Numerics: margins live at ~1e-6 relative to the flip radius (the reference's
+R = max|p| * 10^(0.8*pi) is ~326x the scene scale), so the matmul must run
+at ``Precision.HIGHEST`` — f32 then leaves ~16x headroom; bf16 MXU rounding
+would destroy the test.
+
+The fixed-size resampling contract of the reference's ``convexHull``
+(utils/hidden_point_removal.py:38-41) is preserved exactly: output = visible
+points in ascending original-index order, padded to a fixed size with random
+choices among the visible set — so downstream ``[:, :NUM_POINT]`` slicing
+(train_cloudAAE_ycbv.py:213-214) selects the same population.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+_ROW_CHUNK = 256
+DEFAULT_ITERS = 30
+
+
+def spherical_flip(
+    points: jnp.ndarray,
+    param: float,
+    mask: jnp.ndarray | None = None,
+):
+    """Katz spherical flip about the origin.
+
+    Mirrors ``sphericalFlip`` (utils/hidden_point_removal.py:6-24) with
+    center = 0 (all reference call sites pass a zero center,
+    train_cloudAAE_ycbv.py:103-105): ``R = max|p| * 10**param`` and
+    ``f(p) = p + 2 (R - |p|) p / |p|``.
+
+    Args:
+      points: (N, 3).
+      param: flip exponent (0.8*pi in the reference).
+      mask: optional (N,) bool validity mask (padding support).
+    Returns:
+      (flipped (N, 3), flipped_radius s (N,), unit_dirs (N, 3), norms (N,)).
+    """
+    norms = jnp.linalg.norm(points, axis=-1)
+    valid = jnp.ones_like(norms, bool) if mask is None else mask
+    safe = jnp.where(norms > 0, norms, 1.0)
+    radius = jnp.max(jnp.where(valid, norms, 0.0)) * (10.0 ** param)
+    s = 2.0 * radius - norms
+    dirs = points / safe[..., None]
+    flipped = dirs * s[..., None]
+    return flipped, s, dirs, norms
+
+
+def hpr_visible_mask(
+    points: jnp.ndarray,
+    param: float,
+    mask: jnp.ndarray | None = None,
+    iters: int = DEFAULT_ITERS,
+    slack: float = 0.0,
+    row_chunk: int = _ROW_CHUNK,
+) -> jnp.ndarray:
+    """HPR visibility from the origin via subgradient support-margin ascent.
+
+    Args:
+      points: (N, 3); N must be a multiple of ``row_chunk`` (pad + mask
+        otherwise — padded points are never visible and never occlude).
+      param: flip exponent.
+      mask: optional (N,) bool validity mask.
+      iters: subgradient iterations (quality knob; 30 ~ 0.97 IoU vs the
+        exact hull, 10 ~ 0.9).
+      slack: acceptance tolerance in meters of flipped radius — small
+        positive values (~3e-4) trade a few false positives for recall.
+    Returns:
+      (N,) bool visibility.
+    """
+    n_in = points.shape[0]
+    if n_in % row_chunk != 0:
+        # pad to the chunk boundary; padded points are masked out everywhere
+        pad = row_chunk - n_in % row_chunk
+        points = jnp.concatenate([points, jnp.zeros((pad, 3), points.dtype)])
+        base = jnp.ones((n_in,), bool) if mask is None else mask
+        mask = jnp.concatenate([base, jnp.zeros((pad,), bool)])
+    n = points.shape[0]
+    _, s, dirs, norms = spherical_flip(points, param, mask)
+    valid = (norms > 0) if mask is None else (mask & (norms > 0))
+
+    two_r = jnp.max(jnp.where(valid, norms, 0.0)) * (2.0 * 10.0 ** param)
+    s_hat = s / two_r  # normalized flipped radius ~ 1
+    # Flipped cloud, normalized; invalid points collapse to the origin so
+    # they can never dominate (support 0 < any real support ~ 1).
+    f = jnp.where(valid[:, None], s_hat[:, None] * dirs, 0.0)
+    f_t = f.T  # (3, N)
+
+    n_chunks = n // row_chunk
+    f_rows = f.reshape(n_chunks, row_chunk, 3)
+    row_starts = jnp.arange(n_chunks, dtype=jnp.int32) * row_chunk
+
+    def one_chunk(args):
+        f_c, d0_c, row0 = args
+
+        def body(k, state):
+            d_c, best_c = state
+            supp = jnp.matmul(d_c, f_t, precision=lax.Precision.HIGHEST)
+            col = lax.broadcasted_iota(jnp.int32, supp.shape, 1)
+            row = row0 + lax.broadcasted_iota(jnp.int32, supp.shape, 0)
+            supp = jnp.where(col == row, -jnp.inf, supp)
+            qstar = jnp.argmax(supp, axis=-1)
+            margin = jnp.sum(d_c * f_c, axis=-1) - jnp.max(supp, axis=-1)
+            best_c = jnp.maximum(best_c, margin)
+            # subgradient step with decaying rate; margins are scale-free
+            # because the row normalization cancels in the sign test.
+            eta = 1.5 / (1.0 + 0.15 * k.astype(d_c.dtype))
+            d_new = d_c + eta * (f_c - f[qstar])
+            d_new = d_new / jnp.linalg.norm(d_new, axis=-1, keepdims=True)
+            return d_new, best_c
+
+        d0 = d0_c / jnp.maximum(
+            jnp.linalg.norm(d0_c, axis=-1, keepdims=True), 1e-20
+        )
+        best0 = jnp.full((row_chunk,), -jnp.inf, points.dtype)
+        _, best = lax.fori_loop(0, iters, body, (d0, best0))
+        return best
+
+    best = lax.map(one_chunk, (f_rows, f_rows, row_starts)).reshape(n)
+    return ((best >= -slack / two_r) & valid)[:n_in]
+
+
+def select_visible(
+    visible: jnp.ndarray,
+    points: jnp.ndarray,
+    num_out: int,
+    key: jax.Array,
+):
+    """Fixed-size visible-point selection with the reference's semantics.
+
+    Reproduces ``convexHull``'s output contract
+    (utils/hidden_point_removal.py:38-41): visible points in ascending
+    original-index order first, then random choices (with replacement) among
+    the visible set to reach ``num_out``.
+
+    Returns:
+      (selected (num_out, 3), num_visible scalar int32).
+    """
+    n = visible.shape[0]
+    num_vis = jnp.sum(visible).astype(jnp.int32)
+    iota = jnp.arange(n, dtype=jnp.int32)
+    # Stable partition: visible indices (ascending) first.
+    order = jnp.argsort(jnp.where(visible, iota, iota + n)).astype(jnp.int32)
+    pos = jnp.arange(num_out, dtype=jnp.int32)
+    denom = jnp.maximum(num_vis, 1)
+    fill = (jax.random.uniform(key, (num_out,)) * denom).astype(jnp.int32)
+    fill = jnp.minimum(fill, denom - 1)
+    take = jnp.where(pos < num_vis, jnp.minimum(pos, n - 1), fill)
+    idx = order[take]
+    return points[idx], num_vis
+
+
+def hidden_point_removal(
+    points: jnp.ndarray,
+    num_out: int,
+    key: jax.Array,
+    param: float,
+    mask: jnp.ndarray | None = None,
+    iters: int = DEFAULT_ITERS,
+    slack: float = 0.0,
+    row_chunk: int = _ROW_CHUNK,
+):
+    """Flip -> visibility -> fixed-size resample, as one fused device op.
+
+    Equivalent to the reference chain ``sphericalFlip`` +
+    ``hidden_point_removal`` (utils/hidden_point_removal.py:6-48) but pure and
+    jittable.  Batch via ``jax.vmap``.
+
+    Returns:
+      (selected (num_out, 3), num_visible, visible_mask (N,)).
+    """
+    visible = hpr_visible_mask(points, param, mask, iters, slack, row_chunk)
+    selected, num_vis = select_visible(visible, points, num_out, key)
+    return selected, num_vis, visible

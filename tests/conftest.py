@@ -2,12 +2,16 @@
 
 Multi-chip sharding is validated without TPU hardware via
 ``xla_force_host_platform_device_count`` (SURVEY.md §4); numerical oracles
-(scipy, numpy, float64) live on CPU anyway.  Must run before jax imports.
+(scipy, numpy, float64) live on CPU anyway.
+
+Note: this environment's sitecustomize registers the `axon` TPU backend and
+programmatically sets ``jax_platforms=axon,cpu`` (overriding the env var),
+so the CPU pin must go through ``jax.config.update`` before any backend
+initializes.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
@@ -16,4 +20,4 @@ if "host_platform_device_count" not in xla_flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_enable_x64", False)
+jax.config.update("jax_platforms", "cpu")

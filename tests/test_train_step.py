@@ -1,0 +1,174 @@
+"""End-to-end train-step tests on the virtual 8-device CPU mesh.
+
+Covers the minimum end-to-end slice (SURVEY.md §7.5): poses -> on-device
+synthesis -> model -> 3-term loss -> Adam, under dp and dp x tp meshes.
+Sizes are scaled down for CPU speed; the structure is identical to the
+production config.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cloudaae_tpu.config import Config, ModelConfig, SynthConfig, TrainConfig
+from cloudaae_tpu.models import make_model
+from cloudaae_tpu.parallel import (
+    create_train_state,
+    make_eval_step,
+    make_mesh,
+    make_train_step,
+    shard_batch,
+)
+from cloudaae_tpu.parallel.mesh import shard_params
+
+
+NUM_CLASS = 4
+B = 16
+
+
+def tiny_config(**train_kw) -> Config:
+    return Config(
+        synth=SynthConfig(
+            num_model_points=256,
+            num_input_points=64,
+            num_target_points=256,
+            points_per_blob=50,
+            hpr_iters=5,
+        ),
+        model=ModelConfig(
+            num_class=NUM_CLASS,
+            num_point=64,
+            k_neighbor=4,
+            edge_conv_channels=(16, 16),
+            agg_channels=64,
+            decoder_fc=(64,),
+            head_fc=(32,),
+        ),
+        train=TrainConfig(batch_size=B, learning_rate=1e-3, **train_kw),
+    )
+
+
+@pytest.fixture(scope="module")
+def obj_models():
+    rng = np.random.default_rng(0)
+    models = []
+    for i in range(NUM_CLASS):
+        d = rng.normal(size=(256, 3))
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        models.append(d * np.array([0.05, 0.03, 0.06]) * (0.8 + 0.1 * i))
+    return np.stack(models).astype(np.float32)
+
+
+def pose_batch(rng, n=B):
+    return (
+        np.concatenate(
+            [rng.normal(0, 0.03, (n, 2)), rng.uniform(0.6, 0.9, (n, 1))], axis=1
+        ).astype(np.float32),
+        rng.normal(0, 1.0, (n, 3)).astype(np.float32),
+        rng.integers(0, NUM_CLASS, n).astype(np.int32),
+    )
+
+
+def test_train_step_runs_and_updates(obj_models):
+    cfg = tiny_config()
+    model = make_model(cfg.model)
+    state = create_train_state(model, cfg, jax.random.key(0))
+    step_fn = make_train_step(model, cfg, obj_models)
+    rng = np.random.default_rng(1)
+    batch = pose_batch(rng)
+    p_before = jax.device_get(state.params)
+    state, m = step_fn(state, batch, jax.random.key(2))
+    assert int(state.step) == 1
+    for k in ("total_loss", "xyz_loss", "trans_loss", "axag_loss"):
+        assert np.isfinite(float(m[k])), k
+    assert float(m["axag_loss"]) > 0
+    # per-class accumulators account for every sample
+    assert int(np.asarray(m["per_class_count"]).sum()) == B
+    # parameters actually moved
+    p_after = jax.device_get(state.params)
+    deltas = jax.tree.map(lambda a, b: float(np.abs(a - b).max()), p_before, p_after)
+    assert max(jax.tree.leaves(deltas)) > 0
+
+
+def test_loss_decreases(obj_models):
+    cfg = tiny_config()
+    model = make_model(cfg.model)
+    state = create_train_state(model, cfg, jax.random.key(0))
+    step_fn = make_train_step(model, cfg, obj_models)
+    rng = np.random.default_rng(3)
+    batches = [pose_batch(rng) for _ in range(4)]
+    losses = []
+    key = jax.random.key(4)
+    for i in range(28):
+        key, sub = jax.random.split(key)
+        state, m = step_fn(state, batches[i % 4], sub)
+        losses.append(float(m["total_loss"]))
+    first = np.mean(losses[:4])
+    last = np.mean(losses[-4:])
+    assert last < first * 0.9, f"{first} -> {last}"
+
+
+def test_dp_mesh_sharded_step(obj_models):
+    cfg = tiny_config(dp=8)
+    model = make_model(cfg.model)
+    mesh = make_mesh(dp=8, tp=1)
+    state = create_train_state(model, cfg, jax.random.key(0))
+    step_fn = make_train_step(model, cfg, obj_models)
+    batch = shard_batch(mesh, pose_batch(np.random.default_rng(5)))
+    with mesh:
+        state, m = step_fn(state, batch, jax.random.key(6))
+    assert np.isfinite(float(m["total_loss"]))
+    # batch really is sharded across 8 devices
+    assert len(batch[0].sharding.device_set) == 8
+
+
+def test_dp_tp_mesh_sharded_step(obj_models):
+    cfg = tiny_config(dp=4, tp=2)
+    model = make_model(cfg.model)
+    mesh = make_mesh(dp=4, tp=2)
+    state = create_train_state(model, cfg, jax.random.key(0))
+    with mesh:
+        state = dataclasses.replace(
+            state, params=shard_params(mesh, state.params)
+        )
+        step_fn = make_train_step(model, cfg, obj_models)
+        batch = shard_batch(mesh, pose_batch(np.random.default_rng(7)))
+        state, m = step_fn(state, batch, jax.random.key(8))
+    assert np.isfinite(float(m["total_loss"]))
+    # decoder fc kernel is sharded over tp
+    k = state.params["decoder"]["fc1"]["dense"]["kernel"]
+    assert len(k.sharding.device_set) >= 2
+
+
+def test_frozen_encoder_masks_updates(obj_models):
+    cfg = tiny_config(train_encoder=False)
+    model = make_model(cfg.model)
+    state = create_train_state(model, cfg, jax.random.key(0))
+    step_fn = make_train_step(model, cfg, obj_models)
+    p0 = jax.device_get(state.params)
+    state, _ = step_fn(state, pose_batch(np.random.default_rng(9)), jax.random.key(1))
+    p1 = jax.device_get(state.params)
+    enc_delta = jax.tree.map(
+        lambda a, b: float(np.abs(a - b).max()), p0["encoder"], p1["encoder"]
+    )
+    head_delta = jax.tree.map(
+        lambda a, b: float(np.abs(a - b).max()), p0["rot_head"], p1["rot_head"]
+    )
+    assert max(jax.tree.leaves(enc_delta)) == 0.0
+    assert max(jax.tree.leaves(head_delta)) > 0.0
+
+
+def test_eval_step(obj_models):
+    cfg = tiny_config()
+    model = make_model(cfg.model)
+    state = create_train_state(model, cfg, jax.random.key(0))
+    eval_fn = make_eval_step(model, cfg, obj_models)
+    m, preds = eval_fn(state, pose_batch(np.random.default_rng(11)), jax.random.key(3))
+    recon, rot, trans = preds
+    assert recon.shape == (B, 256, 3)
+    assert rot.shape == (B, 3) and trans.shape == (B, 3)
+    assert np.isfinite(float(m["trans_loss"]))
