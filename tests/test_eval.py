@@ -1,0 +1,158 @@
+"""Evaluation pipeline tests: renderer fixtures, preprocessing, full eval.
+
+The real YCB test tfrecords are a separate download (BASELINE.md), so these
+tests drive the identical pipeline on frames produced by the z-buffer
+renderer (data.ycb_real.render_frame) — same schema, same decode path.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cloudaae_tpu.config import Config
+from cloudaae_tpu.data import ycb_real
+from cloudaae_tpu.evaluate import (
+    SEG_CAPACITY,
+    backproject,
+    eval_preprocess,
+    evaluate_frames,
+)
+from cloudaae_tpu.models import make_model
+from cloudaae_tpu.parallel.train_step import create_train_state
+from cloudaae_tpu import so3
+
+
+@pytest.fixture(scope="module")
+def obj_models():
+    rng = np.random.default_rng(0)
+    models = []
+    for i in range(21):
+        d = rng.normal(size=(2048, 3))
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        radii = np.array([0.05, 0.04, 0.06]) * (0.8 + 0.02 * i)
+        models.append(np.concatenate([d * radii, np.zeros((2048, 3))], axis=1))
+    return np.stack(models).astype(np.float32)
+
+
+def make_pose(rng):
+    axag = rng.normal(size=3).astype(np.float32)
+    R = np.asarray(so3.exp_map(jnp.asarray(axag)))
+    t = np.array([rng.normal(0, 0.03), rng.normal(0, 0.03), rng.uniform(0.65, 0.8)],
+                 np.float32)
+    return axag, R, t
+
+
+def test_render_write_parse_roundtrip(tmp_path, obj_models):
+    rng = np.random.default_rng(1)
+    _, R, t = make_pose(rng)
+    frame = ycb_real.render_frame(obj_models, [3], R[None], t[None],
+                                  seq_id=48, frame_id=7)
+    assert frame.depth.shape == (480, 640)
+    assert (frame.label == 4).sum() > 200  # 1-based labels
+    assert frame.class_one_hot[3] == 1
+
+    path = str(tmp_path / "0048_pcnn.tfrecord")
+    n = ycb_real.write_sequence(path, [frame, frame])
+    assert n == 2
+    back = list(ycb_real.iter_real_frames(path))
+    assert len(back) == 2
+    assert np.array_equal(back[0].depth, frame.depth)
+    assert np.array_equal(back[0].label, frame.label)
+    assert np.allclose(back[0].translations, frame.translations)
+    assert back[0].seq_id == 48 and back[0].frame_id == 7
+
+
+def test_backprojection_recovers_surface(obj_models):
+    rng = np.random.default_rng(2)
+    _, R, t = make_pose(rng)
+    frame = ycb_real.render_frame(obj_models, [5], R[None], t[None], splat=1)
+    depth_m = jnp.asarray(frame.depth.astype(np.float32)) / frame.factor_depth
+    xyz = np.asarray(
+        backproject(depth_m, frame.fx, frame.fy, frame.cx, frame.cy)
+    )
+    m = frame.depth.reshape(-1) > 0
+    pts = xyz[m]
+    posed = obj_models[5][:, :3] @ R.T + t
+    d = np.sqrt(((pts[:, None] - posed[None]) ** 2).sum(-1).min(1))
+    # pixel quantization: ~ z/fx ~ 0.8mm
+    assert np.percentile(d, 95) < 3e-3
+
+
+def test_eval_preprocess_extracts_segment(obj_models):
+    cfg = Config()
+    rng = np.random.default_rng(3)
+    _, R, t = make_pose(rng)
+    frame = ycb_real.render_frame(obj_models, [2, 8], np.stack([R, R]),
+                                  np.stack([t, t + np.array([0.15, 0, 0],
+                                                            np.float32)]))
+    pre = eval_preprocess(
+        jnp.asarray(frame.depth),
+        jnp.asarray(frame.label),
+        jnp.asarray(2),
+        jnp.asarray([frame.fx, frame.fy, frame.cx, frame.cy,
+                     frame.factor_depth], jnp.float32),
+        jax.random.key(0),
+        cfg.eval.num_point,
+        cfg.eval,
+    )
+    assert bool(pre["ok"])
+    assert pre["xyz_inlier"].shape == (256, 3)
+    seg = np.asarray(pre["xyz_inlier"])
+    posed = obj_models[2][:, :3] @ R.T + t
+    d = np.sqrt(((seg[:, None] - posed[None]) ** 2).sum(-1).min(1))
+    assert d.max() < 5e-3  # the segment lies on the class-2 surface
+    # and none of class 8's points leaked in
+    posed8 = obj_models[8][:, :3] @ R.T + (t + np.array([0.15, 0, 0]))
+    d8 = np.sqrt(((seg[:, None] - posed8[None]) ** 2).sum(-1).min(1))
+    assert d8.min() > 0.02
+
+
+def test_eval_preprocess_rejects_absent_class(obj_models):
+    cfg = Config()
+    rng = np.random.default_rng(4)
+    _, R, t = make_pose(rng)
+    frame = ycb_real.render_frame(obj_models, [2], R[None], t[None])
+    pre = eval_preprocess(
+        jnp.asarray(frame.depth), jnp.asarray(frame.label), jnp.asarray(9),
+        jnp.asarray([frame.fx, frame.fy, frame.cx, frame.cy,
+                     frame.factor_depth], jnp.float32),
+        jax.random.key(0), cfg.eval.num_point, cfg.eval,
+    )
+    assert not bool(pre["ok"])
+
+
+def test_evaluate_frames_end_to_end(obj_models):
+    """Random-weight model: errors are large but the pipeline is sound."""
+    cfg = Config()
+    model = make_model(cfg.model)
+    state = create_train_state(model, cfg, jax.random.key(0))
+    rng = np.random.default_rng(5)
+    frames = []
+    for i in range(2):
+        _, R, t = make_pose(rng)
+        frames.append(
+            ycb_real.render_frame(obj_models, [7], R[None], t[None], frame_id=i)
+        )
+    res = evaluate_frames(
+        frames, 7, state, model, cfg, obj_models, verbose=False
+    )
+    assert res.frames == 2
+    assert np.isfinite(res.trans_err) and np.isfinite(res.axag_err)
+    assert np.isfinite(res.add) and np.isfinite(res.add_s)
+    assert res.add_s <= res.add + 1e-6  # closest-point <= matched-point
+
+
+def test_evaluate_with_icp(obj_models):
+    cfg = Config()
+    model = make_model(cfg.model)
+    state = create_train_state(model, cfg, jax.random.key(0))
+    rng = np.random.default_rng(6)
+    _, R, t = make_pose(rng)
+    frame = ycb_real.render_frame(obj_models, [4], R[None], t[None])
+    res = evaluate_frames(
+        [frame], 4, state, model, cfg, obj_models, icp=True, verbose=False
+    )
+    assert res.frames == 1
+    assert np.isfinite(res.add)
