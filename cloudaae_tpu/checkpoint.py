@@ -79,26 +79,46 @@ _TF_SCOPE_BY_FLAX = {
 }
 
 
-def tf_variable_name(flax_path: tuple[str, ...]) -> str | None:
+def tf_variable_name(
+    flax_path: tuple[str, ...], available: set[str] | None = None
+) -> str | None:
     """Map a flax param/stat path to the reference TF variable name.
 
     params:  .../dense/kernel -> <scope>/weights ; /dense/bias -> <scope>/biases
              .../bn/scale -> <scope>/bn/gamma ; /bn/bias -> <scope>/bn/beta
-    stats:   .../bn/mean -> <scope>/bn/moments/.../ExponentialMovingAverage
+    stats:   .../bn/mean -> <scope>/bn/...moments/Squeeze/ExponentialMovingAverage
+
+    The EMA variables embed the *run's* outer name_scope between the
+    variable scope and the moments suffix (the shipped checkpoint has
+    ``dgcnn1/bn/6d_pose/dgcnn1/bn/moments/Squeeze/EMA...``; a repo-script
+    run would say ``decoder`` instead of ``6d_pose``), so EMA names resolve
+    by prefix+suffix search over ``available`` names when given.
     """
     names = "/".join(flax_path)
     for flax_frag, tf_scope in _TF_SCOPE_BY_FLAX.items():
         if names.startswith(flax_frag + "/"):
             leaf = names[len(flax_frag) + 1 :]
-            mapping = {
+            direct = {
                 "dense/kernel": f"{tf_scope}/weights",
                 "dense/bias": f"{tf_scope}/biases",
                 "bn/scale": f"{tf_scope}/bn/gamma",
                 "bn/bias": f"{tf_scope}/bn/beta",
-                "bn/mean": f"{tf_scope}/bn/moments/Squeeze/ExponentialMovingAverage",
-                "bn/var": f"{tf_scope}/bn/moments/Squeeze_1/ExponentialMovingAverage",
             }
-            return mapping.get(leaf)
+            if leaf in direct:
+                return direct[leaf]
+            suffix = {
+                "bn/mean": "moments/Squeeze/ExponentialMovingAverage",
+                "bn/var": "moments/Squeeze_1/ExponentialMovingAverage",
+            }.get(leaf)
+            if suffix is None:
+                return None
+            prefix = f"{tf_scope}/bn/"
+            if available is not None:
+                for cand in available:
+                    if cand.startswith(prefix) and cand.endswith(suffix):
+                        return cand
+                return None
+            return prefix + suffix
     return None
 
 
@@ -112,11 +132,12 @@ def import_tf_checkpoint(
     Returns (params, batch_stats, missing_names).
     """
     missing: list[str] = []
+    available = set(tf_vars)
 
     def fill(tree, kind):
         def one(path, leaf):
             names = tuple(p.key if hasattr(p, "key") else str(p) for p in path)
-            tf_name = tf_variable_name(names)
+            tf_name = tf_variable_name(names, available)
             if tf_name is None or tf_name not in tf_vars:
                 missing.append("/".join(names))
                 return leaf

@@ -47,24 +47,33 @@ def load_pose_records(
     Returns {'translation': (N, 3) f32, 'axisangle': (N, 3) f32,
              'class_id': (N,) i32}.
     """
-    trans, axag, cls_ids = [], [], []
+    from cloudaae_tpu.data import native
+
     if classes is None:
         classes = sorted(
             int(f.split("_")[0])
             for f in os.listdir(train_syn_dir)
             if f.endswith("_syn.tfrecords")
         )
+    parts: list[dict[str, np.ndarray]] = []
     for cls in classes:
         path = os.path.join(train_syn_dir, f"{cls}_syn.tfrecords")
-        for payload in tfrecord.iter_tfrecord(path):
-            ex = tfrecord.parse_example(payload)
-            trans.append(ex["translation"].float_list)
-            axag.append(ex["axisangle"].float_list)
-            cls_ids.append(int(ex["class_id"].int64_list[0]))
+        part = native.load_pose_file(path)  # ~50x the python parser
+        if part is None:
+            trans, axag, cls_ids = [], [], []
+            for payload in tfrecord.iter_tfrecord(path):
+                ex = tfrecord.parse_example(payload)
+                trans.append(ex["translation"].float_list)
+                axag.append(ex["axisangle"].float_list)
+                cls_ids.append(int(ex["class_id"].int64_list[0]))
+            part = {
+                "translation": np.stack(trans).astype(np.float32),
+                "axisangle": np.stack(axag).astype(np.float32),
+                "class_id": np.asarray(cls_ids, np.int32),
+            }
+        parts.append(part)
     return {
-        "translation": np.stack(trans).astype(np.float32),
-        "axisangle": np.stack(axag).astype(np.float32),
-        "class_id": np.asarray(cls_ids, np.int32),
+        k: np.concatenate([p[k] for p in parts]) for k in parts[0]
     }
 
 
