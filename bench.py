@@ -57,18 +57,21 @@ def main():
     )
 
     key = jax.random.key(1)
-    # warmup / compile
+    # warmup / compile.  NOTE: on the tunneled axon backend
+    # jax.block_until_ready returns before execution completes; a host
+    # fetch of a scalar that data-depends on every prior step (via the
+    # donated state chain) is the only honest barrier.
     for _ in range(3):
         key, sub = jax.random.split(key)
         state, m = step_fn(state, batch, sub)
-    jax.block_until_ready(m["total_loss"])
+    float(np.asarray(m["total_loss"]))
 
     iters = 30
     t0 = time.perf_counter()
     for _ in range(iters):
         key, sub = jax.random.split(key)
         state, m = step_fn(state, batch, sub)
-    jax.block_until_ready(m["total_loss"])
+    float(np.asarray(m["total_loss"]))  # barrier: depends on all 30 steps
     dt = time.perf_counter() - t0
 
     samples_per_sec = iters * b / dt
