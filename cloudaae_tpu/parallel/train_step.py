@@ -108,8 +108,10 @@ def _forward_and_losses(
         hpr_iters=cfg.synth.hpr_iters,
         hpr_slack=cfg.synth.hpr_slack,
     )
-    vis = synth["input_points"]          # (B, N, 3), noisy
-    target = synth["target_points"]      # (B, 4N, 3)
+    # synthesized clouds are DATA: cut them out of the autodiff graph so
+    # no backward pass is ever built through the synthesis pipeline
+    vis = jax.lax.stop_gradient(synth["input_points"])      # (B, N, 3)
+    target = jax.lax.stop_gradient(synth["target_points"])  # (B, 4N, 3)
 
     onehot = jax.nn.one_hot(class_id, cfg.model.num_class, dtype=vis.dtype)
     onehot = jnp.broadcast_to(

@@ -144,3 +144,24 @@ def test_hpr_with_padding_mask(rng):
     vis_ref = np.asarray(hpr.hpr_visible_mask(jnp.asarray(pts), PARAM))
     assert not vis_pad[512:].any()
     assert (vis_pad[:512] == vis_ref).mean() > 0.999
+
+
+def test_pallas_kernel_matches_jnp_path(rng):
+    """The fused Pallas kernel (interpret mode on CPU) must agree with the
+    chunked-jnp reference path bit-for-bit on the visibility decision."""
+    import jax
+
+    from cloudaae_tpu.ops.hpr_pallas import hpr_best_margin_pallas
+
+    pts = make_scene(rng, 384)  # 512 points
+    vis_jnp = np.asarray(
+        hpr.hpr_visible_mask(jnp.asarray(pts), PARAM, use_pallas=False)
+    )
+    _, s, dirs, norms = hpr.spherical_flip(jnp.asarray(pts), PARAM)
+    two_r = float(jnp.max(norms)) * 2.0 * 10.0 ** PARAM
+    f = (s / two_r)[:, None] * dirs
+    best = hpr_best_margin_pallas(
+        f[None], dirs[None], iters=12, chunk=256, interpret=True
+    )[0]
+    vis_pal = np.asarray(best >= -2e-4 / two_r)
+    assert (vis_jnp == vis_pal).all()
