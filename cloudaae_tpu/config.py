@@ -111,7 +111,7 @@ class SynthConfig:
     hpr_param: float = 0.8 * math.pi
     # Visibility quality/speed knob: Polyak-ascent iterations of the support
     # test (ops/hpr.py) — 12 ~ 0.977 IoU vs the exact hull, 8 ~ 0.972.
-    hpr_iters: int = 12
+    hpr_iters: int = 8
     hpr_slack: float = 2e-4
     # Sensor noise: sigma = 4mm/3 Gaussian per point
     # (train_cloudAAE_ycbv.py:217).
@@ -151,6 +151,9 @@ class ModelConfig:
     with_heads: bool = True             # False = plain autoencoder variants
     vae: bool = False                   # get_model_dgcnn_mean_vae variant
     recon_channels: int = 3             # 5 for the `_hand` 3+2-channel variant
+    # NN compute dtype: 'bfloat16' doubles MXU throughput; parameters, batch
+    # norm statistics, kNN geometry, and losses stay float32.
+    compute_dtype: str = "float32"
 
     @property
     def input_channels(self) -> int:

@@ -37,8 +37,66 @@ import jax
 import jax.numpy as jnp
 
 from cloudaae_tpu.config import ModelConfig
-from cloudaae_tpu.models.layers import Dense
+from cloudaae_tpu.models.layers import Dense, EmaBatchNorm
 from cloudaae_tpu.ops.knn import edge_feature, knn_indices, pairwise_sq_dist
+
+
+def _dtype_of(cfg: ModelConfig):
+    return None if cfg.compute_dtype == "float32" else jnp.dtype(cfg.compute_dtype)
+
+
+class _SplitEdgeKernel(nn.Module):
+    """The edge-conv weight (2C -> F), applied in split form.
+
+    ``conv(concat(c, n - c)) = c @ W_c + (n - c) @ W_n + b``, so per-POINT
+    products ``a = x @ W_c + b`` and ``v = x @ W_n`` followed by a neighbor
+    gather of ``v`` reproduce the per-EDGE conv exactly with k-fold fewer
+    MACs (k = neighbors) than a matmul over materialized (B,N,k,2C) edge
+    features.  Parameter tree (kernel (2C, F), bias (F,)) matches the naive
+    formulation and the TF checkpoint mapping.
+    """
+
+    features: int
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray):
+        c = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.glorot_uniform(), (2 * c, self.features)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            kernel = kernel.astype(self.dtype)
+            bias = bias.astype(self.dtype)
+        a = x @ kernel[:c] + bias     # center term (+ bias once)
+        v = x @ kernel[c:]            # neighbor-difference term
+        return a, v
+
+
+class _EdgeConv(nn.Module):
+    """Split edge kernel + EMA-BN; parameter paths conv/dense/*, conv/bn/*."""
+
+    features: int
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x, nn_idx, train: bool, momentum):
+        a, v = _SplitEdgeKernel(self.features, self.dtype, name="dense")(x)
+        from cloudaae_tpu.ops.knn import gather_rows
+
+        *batch, n, k = nn_idx.shape
+        v_nbr = gather_rows(v, nn_idx.reshape(*batch, n * k)).reshape(
+            *batch, n, k, self.features
+        )
+        pre = a[..., :, None, :] + v_nbr - v[..., :, None, :]
+        pre = EmaBatchNorm(name="bn")(
+            pre.astype(jnp.float32), train=train, momentum=momentum
+        )
+        if self.dtype is not None:
+            pre = pre.astype(self.dtype)
+        return nn.relu(pre)
 
 
 class EdgeConvBlock(nn.Module):
@@ -47,17 +105,23 @@ class EdgeConvBlock(nn.Module):
     Mirrors one DGCNN block (models/pointnet_ycb_23_decoder_4.py:337-350):
     neighborhoods come from the first 3 channels of the *current* features
     (utils/tf_util.py:608), edge features are concat(center, nbr - center).
+    The conv is applied in split-linear form (see _SplitEdgeKernel) — exact
+    same math, k-fold fewer MACs.
     """
 
     features: int
     k: int
     aggregation: str = "mean"
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool, momentum) -> jnp.ndarray:
-        idx = knn_indices(pairwise_sq_dist(x), self.k)
-        ef = edge_feature(x, idx)  # (B, N, k, 2C)
-        ef = Dense(self.features, name="conv")(ef, train=train, momentum=momentum)
+        # kNN geometry in f32 regardless of compute dtype: neighbor identity
+        # flips under bf16 rounding of mm-scale coordinates
+        idx = knn_indices(pairwise_sq_dist(x.astype(jnp.float32)), self.k)
+        ef = _EdgeConv(self.features, self.dtype, name="conv")(
+            x, idx, train, momentum
+        )
         if self.aggregation == "mean":
             return jnp.mean(ef, axis=-2)
         return jnp.max(ef, axis=-2)
@@ -70,13 +134,15 @@ class DGCNNEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool, momentum):
+        dtype = _dtype_of(self.cfg)
         feats = []
         for i, f in enumerate(self.cfg.edge_conv_channels):
             x = EdgeConvBlock(
-                f, self.cfg.k_neighbor, self.cfg.aggregation, name=f"dgcnn{i+1}"
+                f, self.cfg.k_neighbor, self.cfg.aggregation, dtype=dtype,
+                name=f"dgcnn{i+1}",
             )(x, train, momentum)
             feats.append(x)
-        agg = Dense(self.cfg.agg_channels, name="dgcnn_agg")(
+        agg = Dense(self.cfg.agg_channels, dtype=dtype, name="dgcnn_agg")(
             jnp.concatenate(feats, axis=-1), train=train, momentum=momentum
         )
         if self.cfg.aggregation == "mean":
@@ -97,8 +163,11 @@ class PointNetEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool, momentum):
+        dtype = _dtype_of(self.cfg)
         for i, f in enumerate((64, 64, 64, 128, 1024)):
-            x = Dense(f, name=f"pn_conv{i+1}")(x, train=train, momentum=momentum)
+            x = Dense(f, dtype=dtype, name=f"pn_conv{i+1}")(
+                x, train=train, momentum=momentum
+            )
         return jnp.max(x, axis=-2), x
 
 
@@ -108,16 +177,20 @@ class FCHead(nn.Module):
     hidden: tuple[int, ...]
     out: int
     name_prefix: str = "fc"
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool, momentum):
         for i, f in enumerate(self.hidden):
-            x = Dense(f, name=f"{self.name_prefix}{i+1}")(
+            x = Dense(f, dtype=self.dtype, name=f"{self.name_prefix}{i+1}")(
                 x, train=train, momentum=momentum
             )
-        return Dense(
-            self.out, use_bn=False, activation=None, name=f"{self.name_prefix}_out"
+        out = Dense(
+            self.out, use_bn=False, activation=None, dtype=self.dtype,
+            name=f"{self.name_prefix}_out",
         )(x)
+        # heads/decoder emit geometry: return f32
+        return out.astype(jnp.float32)
 
 
 class CloudAAE(nn.Module):
@@ -167,7 +240,8 @@ class CloudAAE(nn.Module):
         num_point = points.shape[-2]
         recon_dim = num_point * cfg.recon_channels * cfg.recon_multiplier
         recon_flat = FCHead(
-            cfg.decoder_fc, recon_dim, name="decoder", name_prefix="fc"
+            cfg.decoder_fc, recon_dim, dtype=_dtype_of(cfg),
+            name="decoder", name_prefix="fc",
         )(z, train_heads, momentum)
         recon = recon_flat.reshape(
             *recon_flat.shape[:-1],
@@ -178,10 +252,12 @@ class CloudAAE(nn.Module):
         if not cfg.with_heads:
             return recon, None, None, end_points
 
-        rot = FCHead(cfg.head_fc, 3, name="rot_head", name_prefix="fc")(
+        rot = FCHead(cfg.head_fc, 3, dtype=_dtype_of(cfg),
+                     name="rot_head", name_prefix="fc")(
             emb, train_heads, momentum
         )
-        trans = FCHead(cfg.head_fc, 3, name="trans_head", name_prefix="fc")(
+        trans = FCHead(cfg.head_fc, 3, dtype=_dtype_of(cfg),
+                       name="trans_head", name_prefix="fc")(
             emb, train_heads, momentum
         )
         return recon, rot, trans, end_points

@@ -77,6 +77,7 @@ class Dense(nn.Module):
     features: int
     use_bn: bool = True
     activation: Callable | None = nn.relu
+    dtype: jnp.dtype | None = None  # compute dtype; params stay float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False, momentum=0.9):
@@ -84,10 +85,18 @@ class Dense(nn.Module):
             self.features,
             kernel_init=nn.initializers.glorot_uniform(),
             bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
             name="dense",
         )(x)
         if self.use_bn:
-            x = EmaBatchNorm(name="bn")(x, train=train, momentum=momentum)
+            # normalize in f32: EMA statistics and the 1/sqrt(var) path are
+            # precision-sensitive
+            x = EmaBatchNorm(name="bn")(
+                x.astype(jnp.float32), train=train, momentum=momentum
+            )
+            if self.dtype is not None:
+                x = x.astype(self.dtype)
         if self.activation is not None:
             x = self.activation(x)
         return x
@@ -98,11 +107,12 @@ class PointMLP(nn.Module):
 
     features: tuple[int, ...]
     use_bn: bool = True
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False, momentum=0.9):
         for i, f in enumerate(self.features):
-            x = Dense(f, use_bn=self.use_bn, name=f"mlp{i+1}")(
+            x = Dense(f, use_bn=self.use_bn, dtype=self.dtype, name=f"mlp{i+1}")(
                 x, train=train, momentum=momentum
             )
         return x

@@ -145,17 +145,14 @@ def hpr_visible_mask(
     f_t = f.T  # (3, N)
 
     def one_chunk(args):
-        f_c, d0_c, row0 = args
-        col_ids = lax.broadcasted_iota(jnp.int32, (row_chunk, n), 1)
-        row_ids = row0 + lax.broadcasted_iota(
-            jnp.int32, (row_chunk, n), 0
-        )
-        self_mask = col_ids == row_ids
+        f_c, d0_c = args
 
         def body(_, state):
             d_c, best_c = state
+            # max over ALL columns including self: a self-argmax means
+            # margin 0 = visible with a frozen trajectory — same decision
+            # as self-exclusion for any slack >= 0 (see ops.hpr_pallas)
             supp = jnp.matmul(d_c, f_t, precision=lax.Precision.HIGHEST)
-            supp = jnp.where(self_mask, -jnp.inf, supp)
             qstar = jnp.argmax(supp, axis=-1)
             margin = jnp.sum(d_c * f_c, axis=-1) - jnp.max(supp, axis=-1)
             best_c = jnp.maximum(best_c, margin)
@@ -178,7 +175,6 @@ def hpr_visible_mask(
         (
             f.reshape(n_chunks, row_chunk, 3),
             dirs.reshape(n_chunks, row_chunk, 3),
-            jnp.arange(n_chunks, dtype=jnp.int32) * row_chunk,
         ),
     ).reshape(n)
     return ((best >= -slack / two_r) & valid)[:n_in]

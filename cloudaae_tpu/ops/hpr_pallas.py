@@ -38,18 +38,10 @@ def _ascent_kernel(
     chunk: int,
     n: int,
 ):
-    ci = pl.program_id(1)
-
     f0 = f_t_ref[0, 0:1, :]  # (1, N)
     f1 = f_t_ref[0, 1:2, :]
     f2 = f_t_ref[0, 2:3, :]
     f_c = f_c_ref[0, 0]      # (CHUNK, 3)
-
-    # self-exclusion mask, built once per grid cell
-    col = lax.broadcasted_iota(jnp.int32, (chunk, n), 1)
-    row = ci * chunk + lax.broadcasted_iota(jnp.int32, (chunk, n), 0)
-    neg = jnp.asarray(-jnp.inf, jnp.float32)
-    excl = col == row
 
     def body(_, state):
         d, best = state
@@ -57,7 +49,11 @@ def _ascent_kernel(
         d1 = d[:, 1:2]
         d2 = d[:, 2:3]
         supp = d0 * f0 + d1 * f1 + d2 * f2          # (CHUNK, N) VPU FMAs
-        supp = jnp.where(excl, neg, supp)
+        # The max runs over ALL columns including self: if p is its own
+        # argmax its margin is exactly 0 (>= -slack -> visible) and the
+        # subgradient vanishes, freezing an already-won trajectory — the
+        # decision is identical to the self-excluded test at any slack >= 0,
+        # without building or applying an exclusion mask.
         m = jnp.max(supp, axis=1, keepdims=True)     # (CHUNK, 1)
         own = jnp.sum(d * f_c, axis=1, keepdims=True)
         margin = own - m

@@ -190,11 +190,14 @@ def make_train_step(model: CloudAAE, cfg: Config, obj_models: jnp.ndarray):
         momentum = bn_decay_at(
             state.step.astype(jnp.float32) * cfg.train.batch_size, cfg.model
         )
+        # derive the per-step key on device from the step counter: the host
+        # loop passes one base key and never dispatches split() per step
+        step_key = jax.random.fold_in(key, state.step)
 
         def loss_fn(params):
             total, new_stats, metrics, _ = _forward_and_losses(
                 model, cfg, params, state.batch_stats, obj_models,
-                batch, key, train=True, momentum=momentum, mutable=True,
+                batch, step_key, train=True, momentum=momentum, mutable=True,
             )
             return total, (new_stats, metrics)
 

@@ -60,8 +60,10 @@ def get_parser() -> argparse.ArgumentParser:
 
     hyper = p.add_argument_group("hyperparameters")
     hyper.add_argument("--batch-size", type=int, default=128)
+    hyper.add_argument("--compute-dtype", default="float32",
+                       choices=["float32", "bfloat16"])
     hyper.add_argument("--learning-rate", type=float, default=8e-4)
-    hyper.add_argument("--hpr-iters", type=int, default=12)
+    hyper.add_argument("--hpr-iters", type=int, default=8)
     hyper.add_argument("--dp", type=int, default=-1)
     hyper.add_argument("--tp", type=int, default=1)
     hyper.add_argument("--log-every", type=int, default=100)
@@ -80,7 +82,8 @@ def config_from_args(args) -> Config:
             hpr_iters=args.hpr_iters,
         ),
         model=dataclasses.replace(
-            cfg.model, num_point=args.num_point, name=args.model
+            cfg.model, num_point=args.num_point, name=args.model,
+            compute_dtype=args.compute_dtype,
         ),
         train=dataclasses.replace(
             cfg.train,

@@ -154,3 +154,26 @@ def test_model_jit_and_grad(inputs):
         sum(jnp.sum(jnp.square(x)) for x in jax.tree.leaves(g))
     )
     assert np.isfinite(float(gnorm)) and float(gnorm) > 0
+
+
+def test_split_edge_conv_matches_naive_formulation(inputs):
+    """The split-linear edge conv must equal conv(concat(c, n-c)) exactly."""
+    from cloudaae_tpu.ops.knn import edge_feature, knn_indices, pairwise_sq_dist
+
+    model = make_model(name="dgcnn_mean_6d")
+    variables = init_model(model, inputs)
+    p = variables["params"]["encoder"]["dgcnn1"]["conv"]["dense"]
+    kernel, bias = np.asarray(p["kernel"]), np.asarray(p["bias"])
+
+    x = np.asarray(inputs)  # (B, N, 24)
+    idx = np.asarray(knn_indices(pairwise_sq_dist(jnp.asarray(x)), 10))
+    ef = np.asarray(edge_feature(jnp.asarray(x), jnp.asarray(idx)))  # (B,N,k,48)
+    naive = ef @ kernel + bias
+
+    c = x.shape[-1]
+    a = x @ kernel[:c] + bias
+    v = x @ kernel[c:]
+    B, N, k = idx.shape
+    v_nbr = np.stack([v[b][idx[b].reshape(-1)].reshape(N, k, -1) for b in range(B)])
+    split = a[:, :, None, :] + v_nbr - v[:, :, None, :]
+    assert np.max(np.abs(naive - split)) < 1e-5
