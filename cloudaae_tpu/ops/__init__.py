@@ -18,6 +18,7 @@ from cloudaae_tpu.ops.hpr import hidden_point_removal, spherical_flip
 from cloudaae_tpu.ops.knn import edge_feature, knn_indices, pairwise_sq_dist
 from cloudaae_tpu.ops.outlier import radius_outlier_mask
 from cloudaae_tpu.ops.icp import icp_point_to_point
+from cloudaae_tpu.ops.mesh_sample import sample_mesh_surface, triangle_areas
 
 __all__ = [
     "chamfer_loss",
@@ -32,4 +33,6 @@ __all__ = [
     "pairwise_sq_dist",
     "radius_outlier_mask",
     "icp_point_to_point",
+    "sample_mesh_surface",
+    "triangle_areas",
 ]

@@ -19,6 +19,29 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def initialize_multihost(coordinator: str | None = None,
+                         num_processes: int | None = None,
+                         process_id: int | None = None) -> None:
+    """Initialize jax.distributed for multi-host meshes.
+
+    On Cloud TPU pods the arguments auto-detect from the environment; pass
+    them explicitly elsewhere.  After this, ``jax.devices()`` spans all
+    hosts and ``make_mesh`` builds pod-wide meshes — gradient all-reduce
+    rides ICI within a slice and DCN across slices with no further code
+    (SURVEY.md §5.8).  No-op if already initialized.
+    """
+    if jax.process_count() > 1:
+        return
+    kwargs = {}
+    if coordinator is not None:
+        kwargs = dict(coordinator_address=coordinator,
+                      num_processes=num_processes, process_id=process_id)
+    try:
+        jax.distributed.initialize(**kwargs)
+    except (RuntimeError, ValueError):
+        pass  # single-process environments
+
+
 def make_mesh(dp: int = -1, tp: int = 1, devices=None) -> Mesh:
     """Build a (dp, tp) mesh; dp = -1 uses all remaining devices."""
     devices = devices if devices is not None else jax.devices()

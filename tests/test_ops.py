@@ -216,3 +216,29 @@ def test_icp_recovers_small_perturbation(rng):
     init_rot_err = float(so3.geodesic_angle(R_init, jnp.asarray(R_true)))
     assert rot_err < init_rot_err * 0.2
     assert t_err < 0.002
+
+
+# ------------------------------------------------------------ mesh sample
+
+
+def test_sample_mesh_surface_uniformity(rng):
+    from cloudaae_tpu.ops import sample_mesh_surface, triangle_areas
+
+    # two triangles: one 4x the area of the other
+    verts = jnp.asarray(
+        [[0, 0, 0], [1, 0, 0], [0, 1, 0], [3, 0, 0], [1, 2, 0]],
+        jnp.float32,
+    )
+    tris = jnp.asarray([[0, 1, 2], [1, 3, 4]], jnp.int32)
+    areas = np.asarray(triangle_areas(verts, tris))
+    assert abs(areas[1] / areas[0] - 4.0) < 1e-5
+
+    pts = np.asarray(sample_mesh_surface(verts, tris, 20000, jax.random.key(0)))
+    assert pts.shape == (20000, 3)
+    assert np.allclose(pts[:, 2], 0.0, atol=1e-6)  # mesh is planar
+    # fraction of samples on the big triangle ~ 0.8
+    on_big = pts[:, 0] > 1.0  # right of x=1 only reachable on triangle 2
+    frac = on_big.mean()
+    assert 0.3 < frac < 0.8  # loose: x>1 covers part of the big triangle
+    # barycentric validity: all points inside the union's bounding box
+    assert pts[:, 0].min() >= -1e-6 and pts[:, 0].max() <= 3 + 1e-6
