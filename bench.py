@@ -29,8 +29,7 @@ def main():
     from cloudaae_tpu.parallel import (
         create_train_state,
         make_mesh,
-        make_train_step,
-        shard_batch,
+        make_train_step_from_table,
     )
 
     cfg = Config()
@@ -39,21 +38,22 @@ def main():
     )
     model = make_model(cfg.model)
     state = create_train_state(model, cfg, jax.random.key(0))
-    step_fn = make_train_step(model, cfg, obj_models)
     mesh = make_mesh(dp=-1, tp=1)
+    step_fn = make_train_step_from_table(model, cfg, obj_models, mesh)
 
     rng = np.random.default_rng(0)
     b = cfg.train.batch_size
-    batch = shard_batch(
-        mesh,
+    iters = 30
+    n = b * iters
+    table = jax.device_put(
         (
             np.concatenate(
-                [rng.normal(0, 0.04, (b, 2)), rng.uniform(0.6, 0.9, (b, 1))],
+                [rng.normal(0, 0.04, (n, 2)), rng.uniform(0.6, 0.9, (n, 1))],
                 axis=1,
             ).astype(np.float32),
-            rng.normal(0, 1.2, (b, 3)).astype(np.float32),
-            rng.integers(0, cfg.model.num_class, b).astype(np.int32),
-        ),
+            rng.normal(0, 1.2, (n, 3)).astype(np.float32),
+            rng.integers(0, cfg.model.num_class, n).astype(np.int32),
+        )
     )
 
     key = jax.random.key(1)
@@ -61,16 +61,13 @@ def main():
     # jax.block_until_ready returns before execution completes; a host
     # fetch of a scalar that data-depends on every prior step (via the
     # donated state chain) is the only honest barrier.
-    for _ in range(3):
-        key, sub = jax.random.split(key)
-        state, m = step_fn(state, batch, sub)
+    for i in range(3):
+        state, m = step_fn(state, table, np.asarray(i * b, np.int32), key)
     float(np.asarray(m["total_loss"]))
 
-    iters = 30
     t0 = time.perf_counter()
-    for _ in range(iters):
-        key, sub = jax.random.split(key)
-        state, m = step_fn(state, batch, sub)
+    for i in range(iters):
+        state, m = step_fn(state, table, np.asarray(i * b, np.int32), key)
     float(np.asarray(m["total_loss"]))  # barrier: depends on all 30 steps
     dt = time.perf_counter() - t0
 

@@ -99,6 +99,12 @@ class PoseBatcher:
     def steps_per_epoch(self) -> int:
         return self._n // self.batch_size
 
+    def shuffled_order(self) -> np.ndarray:
+        """One epoch's shuffled record order, truncated to whole batches."""
+        return self._rng.permutation(self._n)[
+            : self.steps_per_epoch * self.batch_size
+        ]
+
     def epoch(self):
         """Yield (translation, axisangle, class_id) batches for one epoch."""
         order = self._rng.permutation(self._n)

@@ -13,6 +13,7 @@ from cloudaae_tpu.parallel.train_step import (
     create_train_state,
     make_eval_step,
     make_train_step,
+    make_train_step_from_table,
 )
 
 __all__ = [
@@ -22,5 +23,6 @@ __all__ = [
     "TrainState",
     "create_train_state",
     "make_train_step",
+    "make_train_step_from_table",
     "make_eval_step",
 ]

@@ -172,13 +172,8 @@ def _forward_and_losses(
     return total, new_stats, metrics, (recon, rot_pred, trans_pred)
 
 
-def make_train_step(model: CloudAAE, cfg: Config, obj_models: jnp.ndarray):
-    """Build the jitted train step: (state, batch, key) -> (state, metrics).
-
-    ``batch`` = (translation (B,3), axisangle (B,3), class_id (B,)) —
-    shard it along dp with ``parallel.shard_batch``; the state placement
-    determines parameter sharding (replicated or tp-sharded kernels).
-    """
+def _build_step_fn(model: CloudAAE, cfg: Config, obj_models: jnp.ndarray):
+    """The raw (unjitted) train step function."""
     tx = make_optimizer(cfg)
     # Keep the closure constant on the HOST (numpy): jit lowering embeds
     # closure constants by value, and pulling a device array back through
@@ -214,6 +209,53 @@ def make_train_step(model: CloudAAE, cfg: Config, obj_models: jnp.ndarray):
         )
         metrics["bn_decay"] = momentum
         return new_state, metrics
+
+    return step_fn
+
+
+def make_train_step(model: CloudAAE, cfg: Config, obj_models: jnp.ndarray):
+    """Build the jitted train step: (state, batch, key) -> (state, metrics).
+
+    ``batch`` = (translation (B,3), axisangle (B,3), class_id (B,)) —
+    shard it along dp with ``parallel.shard_batch``; the state placement
+    determines parameter sharding (replicated or tp-sharded kernels).
+    """
+    return jax.jit(_build_step_fn(model, cfg, obj_models), donate_argnums=0)
+
+
+def make_train_step_from_table(
+    model: CloudAAE, cfg: Config, obj_models: jnp.ndarray, mesh=None
+):
+    """Train step that slices its batch from a device-resident pose table.
+
+    (state, table, start, key) -> (state, metrics), where ``table`` =
+    (translation (M,3), axisangle (M,3), class_id (M,)) lives on device for
+    a whole epoch (one ~10 MB upload) and ``start`` is the batch offset.
+    On tunneled backends a per-step host->device batch upload costs more
+    than the step itself; this variant removes all per-step transfers
+    except the scalar offset.
+
+    With a multi-device ``mesh`` the sliced batch is shard-constrained
+    along dp so the synthesis fans out across chips.
+    """
+    inner = _build_step_fn(model, cfg, obj_models)
+    b = cfg.train.batch_size
+    sharding = None
+    if mesh is not None and mesh.devices.size > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sharding = NamedSharding(mesh, P("dp"))
+
+    def step_fn(state: TrainState, table, start, key: jax.Array):
+        batch = tuple(
+            jax.lax.dynamic_slice_in_dim(arr, start, b, axis=0)
+            for arr in table
+        )
+        if sharding is not None:
+            batch = tuple(
+                jax.lax.with_sharding_constraint(x, sharding) for x in batch
+            )
+        return inner(state, batch, key)
 
     return jax.jit(step_fn, donate_argnums=0)
 

@@ -163,19 +163,35 @@ def main(argv=None):
             params=shard_params(mesh, state.params),
         )
 
-    train_step = make_train_step(model, cfg, obj_models)
+    from cloudaae_tpu.parallel import make_train_step_from_table
+
+    train_step = make_train_step_from_table(model, cfg, obj_models, mesh)
     batcher = PoseBatcher(poses, cfg.train.batch_size, cfg.train.seed)
     ckpt_dir = os.path.join(run_dir, "ckpt")
+    b = cfg.train.batch_size
+    base_key = key
 
     step = int(state.step)
     t_epoch = time.time()
     for epoch in range(cfg.train.max_epoch):
         log.log_string(f"**** EPOCH {epoch:03d} ****")
         epoch_start_step = step
-        for batch_np in batcher.epoch():
-            batch = shard_batch(mesh, batch_np)
-            key, sub = jax.random.split(key)
-            state, m = train_step(state, batch, sub)
+        # one 10 MB upload per epoch: the shuffled pose table lives on
+        # device and each step slices its batch there — per-step
+        # host->device transfers cost more than the step on tunneled
+        # backends
+        order = batcher.shuffled_order()
+        table = jax.device_put(
+            (
+                poses["translation"][order],
+                poses["axisangle"][order],
+                poses["class_id"][order],
+            )
+        )
+        for i in range(batcher.steps_per_epoch):
+            state, m = train_step(
+                state, table, np.asarray(i * b, np.int32), base_key
+            )
             step += 1
             if step % cfg.train.log_every == 0:
                 m = jax.device_get(m)

@@ -172,3 +172,39 @@ def test_eval_step(obj_models):
     assert recon.shape == (B, 256, 3)
     assert rot.shape == (B, 3) and trans.shape == (B, 3)
     assert np.isfinite(float(m["trans_loss"]))
+
+
+def test_table_step_matches_batch_step(obj_models):
+    """Slicing the batch from a device-resident table must reproduce the
+    plain batch step exactly."""
+    from cloudaae_tpu.parallel.train_step import make_train_step_from_table
+
+    cfg = tiny_config()
+    model = make_model(cfg.model)
+    rng = np.random.default_rng(13)
+    n = 3 * B
+    table = (
+        np.concatenate(
+            [rng.normal(0, 0.03, (n, 2)), rng.uniform(0.6, 0.9, (n, 1))], axis=1
+        ).astype(np.float32),
+        rng.normal(0, 1.0, (n, 3)).astype(np.float32),
+        rng.integers(0, NUM_CLASS, n).astype(np.int32),
+    )
+    key = jax.random.key(5)
+
+    s1 = create_train_state(model, cfg, jax.random.key(0))
+    plain = make_train_step(model, cfg, obj_models)
+    for i in range(3):
+        batch = tuple(a[i * B : (i + 1) * B] for a in table)
+        s1, m1 = plain(s1, batch, key)
+
+    s2 = create_train_state(model, cfg, jax.random.key(0))
+    table_step = make_train_step_from_table(model, cfg, obj_models)
+    dev_table = jax.device_put(table)
+    for i in range(3):
+        s2, m2 = table_step(s2, dev_table, np.asarray(i * B, np.int32), key)
+
+    assert np.allclose(float(m1["total_loss"]), float(m2["total_loss"]), rtol=1e-5)
+    a = jax.tree.leaves(s1.params)[0]
+    b = jax.tree.leaves(s2.params)[0]
+    assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-6)
