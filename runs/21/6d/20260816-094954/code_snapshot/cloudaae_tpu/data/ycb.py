@@ -37,41 +37,6 @@ def load_object_models(path: str) -> np.ndarray:
     return np.stack([m for _, m in models]).astype(np.float32)
 
 
-def write_object_models(path: str, models: np.ndarray) -> int:
-    """Write a (num_class, P, 6) model table in the obj_models schema.
-
-    The inverse of :func:`load_object_models` — lets users of this framework
-    build their own object-model tfrecords from mesh samples (e.g. via
-    ops.sample_mesh_surface) in the exact format the reference ships.
-    """
-    def payloads():
-        for label, model in enumerate(models):
-            yield tfrecord.example_bytes(
-                {
-                    "label": np.asarray([label], np.int64),
-                    "model": np.asarray(model, np.float32),
-                }
-            )
-
-    return tfrecord.write_tfrecord(path, payloads())
-
-
-def write_pose_records(path: str, translation, axisangle, class_id) -> int:
-    """Write pose records in the train_syn schema (one class per file,
-    as the reference's {cls}_syn.tfrecords layout)."""
-    def payloads():
-        for t, a, c in zip(translation, axisangle, class_id):
-            yield tfrecord.example_bytes(
-                {
-                    "translation": np.asarray(t, np.float32),
-                    "axisangle": np.asarray(a, np.float32),
-                    "class_id": np.asarray([c], np.int64),
-                }
-            )
-
-    return tfrecord.write_tfrecord(path, payloads())
-
-
 def load_pose_records(
     train_syn_dir: str, classes: list[int] | None = None
 ) -> dict[str, np.ndarray]:

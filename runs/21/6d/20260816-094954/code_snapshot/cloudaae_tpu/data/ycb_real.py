@@ -1,0 +1,224 @@
+"""YCB-Video real-frame records: parsing, segment extraction, fixtures.
+
+Implements the "pcnn" full-frame schema the reference eval consumes
+(evaluate_cloudAAE_ycbv.py:125-161): raw RGB image, uint16 depth, uint8
+per-pixel label mask, per-class quaternions/translations, intrinsics —
+files named ``{seq:04d}_pcnn.tfrecord`` per video sequence (:362-366).
+
+The real tfrecords are a separate download absent from this mount
+(BASELINE.md), so this module also provides :func:`render_frame` — a
+z-buffer renderer that projects posed object models into synthetic
+depth/label frames with the same schema.  It serves as the test fixture
+generator for the full eval pipeline and as a standalone dataset tool.
+
+Ragged-to-fixed: the reference's per-frame pipeline bounces through host
+py_funcs with data-dependent shapes (SURVEY.md §3.2).  Here a frame decodes
+on host to fixed-size arrays, and the entire segment-processing chain
+(backprojection, masking, distance filter, outlier removal, FPS) is one
+jitted function over fixed-capacity padded buffers (``eval_preprocess`` in
+cloudaae_tpu.evaluate).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from cloudaae_tpu.data import tfrecord
+
+# YCB-Video camera defaults (the real dataset's primary camera).
+DEFAULT_INTRINSICS = dict(
+    fx=1066.778, fy=1067.487, cx=312.9869, cy=241.3109, factor_depth=10000.0
+)
+FRAME_H, FRAME_W = 480, 640
+
+
+@dataclass
+class RealFrame:
+    image: np.ndarray          # (H, W, 3) uint8
+    depth: np.ndarray          # (H, W) uint16
+    label: np.ndarray          # (H, W) uint8, 1-based class ids, 0 = bg
+    quaternions: np.ndarray    # (num_class, 4) wxyz
+    translations: np.ndarray   # (num_class, 3)
+    class_one_hot: np.ndarray  # (num_class,) int64
+    seq_id: int
+    frame_id: int
+    fx: float
+    fy: float
+    cx: float
+    cy: float
+    factor_depth: float
+
+
+def parse_real_frame(payload: bytes, num_class: int = 21) -> RealFrame:
+    """Decode one pcnn-schema record (evaluate_cloudAAE_ycbv.py:125-161)."""
+    ex = tfrecord.parse_example(payload)
+    img_shape = ex["image_shape"].int64_list
+    image = np.frombuffer(ex["image"].bytes_list[0], np.uint8).reshape(img_shape)
+    if image.shape[-1] == 4:  # 4-channel images occur in the real data (:150)
+        image = image[..., :3]
+    depth_shape = ex["depth_shape"].int64_list
+    depth = np.frombuffer(ex["depth"].bytes_list[0], np.uint16).reshape(depth_shape)
+    label_shape = ex["label_shape"].int64_list
+    label = np.frombuffer(ex["label"].bytes_list[0], np.uint8).reshape(label_shape)
+    return RealFrame(
+        image=image,
+        depth=depth,
+        label=label,
+        quaternions=ex["quaternions"].float_list.reshape(num_class, 4),
+        translations=ex["translations"].float_list.reshape(num_class, 3),
+        class_one_hot=ex["class_one_hot"].int64_list,
+        seq_id=int(ex["seq_id"].int64_list[0]),
+        frame_id=int(ex["frame_id"].int64_list[0]),
+        fx=float(ex["fx"].float_list[0]),
+        fy=float(ex["fy"].float_list[0]),
+        cx=float(ex["cx"].float_list[0]),
+        cy=float(ex["cy"].float_list[0]),
+        factor_depth=float(ex["factor_depth"].float_list[0]),
+    )
+
+
+def frame_bytes(frame: RealFrame) -> bytes:
+    """Serialize a RealFrame to the pcnn schema."""
+    return tfrecord.example_bytes(
+        {
+            "image": frame.image.tobytes(),
+            "image_shape": np.asarray(frame.image.shape, np.int64),
+            "depth": frame.depth.tobytes(),
+            "depth_shape": np.asarray(frame.depth.shape, np.int64),
+            "label": frame.label.tobytes(),
+            "label_shape": np.asarray(frame.label.shape, np.int64),
+            "quaternions": frame.quaternions.astype(np.float32),
+            "translations": frame.translations.astype(np.float32),
+            "class_one_hot": np.asarray(frame.class_one_hot, np.int64),
+            "seq_id": np.asarray([frame.seq_id], np.int64),
+            "frame_id": np.asarray([frame.frame_id], np.int64),
+            "fx": np.asarray([frame.fx], np.float32),
+            "fy": np.asarray([frame.fy], np.float32),
+            "cx": np.asarray([frame.cx], np.float32),
+            "cy": np.asarray([frame.cy], np.float32),
+            "factor_depth": np.asarray([frame.factor_depth], np.float32),
+        }
+    )
+
+
+def iter_real_frames(path: str, num_class: int = 21):
+    for payload in tfrecord.iter_tfrecord(path):
+        yield parse_real_frame(payload, num_class)
+
+
+# -------------------------------------------------------------- renderer
+
+
+def render_frame(
+    obj_models: np.ndarray,
+    class_ids: list[int],
+    rotations: np.ndarray,
+    translations: np.ndarray,
+    seq_id: int = 0,
+    frame_id: int = 0,
+    splat: int = 2,
+    num_class: int = 21,
+    rng: np.random.Generator | None = None,
+    depth_noise: float = 0.0,
+    **intrinsics,
+) -> RealFrame:
+    """Z-buffer render of posed object models into a pcnn-schema frame.
+
+    Each model point splats a ``splat x splat`` pixel block; nearest depth
+    wins the z-buffer, and the winner's class writes the label mask.  This
+    is the test stand-in for real sensor frames (and a dataset tool: the
+    reference's training *images* pipeline never existed — it worked purely
+    on clouds).
+
+    Args:
+      obj_models: (num_class, P, >=3) models in object frame.
+      class_ids: objects present in the scene.
+      rotations: (n_obj, 3, 3); translations: (n_obj, 3).
+    """
+    K = {**DEFAULT_INTRINSICS, **intrinsics}
+    h, w = FRAME_H, FRAME_W
+    all_flat, all_z, all_cls = [], [], []
+    for cls, R, t in zip(class_ids, rotations, translations):
+        pts = obj_models[cls][:, :3] @ R.T + t
+        z = pts[:, 2]
+        ok = z > 1e-3
+        zs = np.where(ok, z, 1.0)
+        u = np.round(K["fx"] * pts[:, 0] / zs + K["cx"]).astype(np.int64)
+        v = np.round(K["fy"] * pts[:, 1] / zs + K["cy"]).astype(np.int64)
+        for du in range(splat):
+            for dv in range(splat):
+                uu, vv = u + du, v + dv
+                m = ok & (uu >= 0) & (uu < w) & (vv >= 0) & (vv < h)
+                all_flat.append(vv[m] * w + uu[m])
+                all_z.append(z[m])
+                all_cls.append(np.full(m.sum(), cls + 1, np.uint8))
+
+    zbuf = np.full(h * w, np.inf, np.float32)
+    label = np.zeros(h * w, np.uint8)
+    if all_flat:
+        flat = np.concatenate(all_flat)
+        z = np.concatenate(all_z)
+        cls_v = np.concatenate(all_cls)
+        # nearest-depth wins across ALL objects: write in descending depth
+        # so the last write per pixel is the closest point
+        order = np.argsort(-z, kind="stable")
+        zbuf[flat[order]] = z[order]
+        label[flat[order]] = cls_v[order]
+    zbuf = zbuf.reshape(h, w)
+    label = label.reshape(h, w)
+
+    depth_m = np.where(np.isfinite(zbuf), zbuf, 0.0)
+    if depth_noise > 0.0 and rng is not None:
+        depth_m = np.where(
+            depth_m > 0,
+            depth_m + rng.normal(0, depth_noise, depth_m.shape),
+            0.0,
+        )
+    depth = np.clip(depth_m * K["factor_depth"], 0, 65535).astype(np.uint16)
+
+    quats = np.zeros((num_class, 4), np.float32)
+    quats[:, 0] = 1.0
+    trans = np.zeros((num_class, 3), np.float32)
+    onehot = np.zeros((num_class,), np.int64)
+    for cls, R, t in zip(class_ids, rotations, translations):
+        quats[cls] = _mat_to_quat(R)
+        trans[cls] = t
+        onehot[cls] = 1
+
+    image = np.zeros((h, w, 3), np.uint8)
+    image[..., 0] = (label > 0) * 128  # trivially-colored segmentation view
+
+    return RealFrame(
+        image=image, depth=depth, label=label, quaternions=quats,
+        translations=trans, class_one_hot=onehot, seq_id=seq_id,
+        frame_id=frame_id, fx=K["fx"], fy=K["fy"], cx=K["cx"], cy=K["cy"],
+        factor_depth=K["factor_depth"],
+    )
+
+
+def _mat_to_quat(R: np.ndarray) -> np.ndarray:
+    """Rotation matrix -> wxyz quaternion (numpy, host-side)."""
+    t = np.trace(R)
+    if t > 0:
+        s = np.sqrt(t + 1.0) * 2
+        return np.array(
+            [0.25 * s, (R[2, 1] - R[1, 2]) / s, (R[0, 2] - R[2, 0]) / s,
+             (R[1, 0] - R[0, 1]) / s], np.float32)
+    i = int(np.argmax(np.diag(R)))
+    j, k = (i + 1) % 3, (i + 2) % 3
+    s = np.sqrt(1.0 + R[i, i] - R[j, j] - R[k, k]) * 2
+    q = np.zeros(4, np.float32)
+    q[0] = (R[k, j] - R[j, k]) / s
+    q[1 + i] = 0.25 * s
+    q[1 + j] = (R[j, i] + R[i, j]) / s
+    q[1 + k] = (R[k, i] + R[i, k]) / s
+    return q
+
+
+def write_sequence(
+    path: str, frames: list[RealFrame]
+) -> int:
+    """Write frames as one {seq:04d}_pcnn.tfrecord file."""
+    return tfrecord.write_tfrecord(path, (frame_bytes(f) for f in frames))

@@ -44,29 +44,15 @@ def make_run_dir(cfg: Config) -> str:
 
 
 class MetricLogger:
-    """Stdout + log_train.txt + metrics.csv (+ TensorBoard when available),
-    with per-class accumulation.
+    """Stdout + log_train.txt + metrics.csv, with per-class accumulation."""
 
-    Scalar-summary parity with the reference's ``tf.summary`` stream
-    (train_cloudAAE_ycbv.py:204-261,286-288) via torch's SummaryWriter when
-    installed; plain CSV otherwise.
-    """
-
-    def __init__(self, run_dir: str, num_class: int, tensorboard: bool = True):
+    def __init__(self, run_dir: str, num_class: int):
         self.run_dir = run_dir
         self.num_class = num_class
         self._log = open(os.path.join(run_dir, "log_train.txt"), "a")
         self._csv_path = os.path.join(run_dir, "metrics.csv")
         self._csv = None
         self._writer = None
-        self._tb = None
-        if tensorboard:
-            try:
-                from torch.utils.tensorboard import SummaryWriter
-
-                self._tb = SummaryWriter(os.path.join(run_dir, "tb"))
-            except Exception:
-                self._tb = None
         self._class_sums = np.zeros((3, num_class))
         self._class_counts = np.zeros(num_class)
         self._t0 = time.time()
@@ -102,9 +88,6 @@ class MetricLogger:
             if self._csv.tell() == 0:
                 self._writer.writeheader()
         self._writer.writerow(row)
-        if self._tb is not None:
-            for k in ("total_loss", "xyz_loss", "trans_loss", "axag_loss"):
-                self._tb.add_scalar(k, row[k], step)
 
     def flush_per_class(self, step: int) -> dict[str, float]:
         """Emit and reset per-class averages (reference cadence: every 1000
@@ -124,9 +107,6 @@ class MetricLogger:
             os.path.join(self.run_dir, f"per_class_{step:09d}.json"), "w"
         ) as f:
             json.dump(out, f, indent=2)
-        if self._tb is not None:
-            for k, v in out.items():
-                self._tb.add_scalar(k, float(v), step)
         self._class_sums[:] = 0
         self._class_counts[:] = 0
         return out
@@ -135,8 +115,6 @@ class MetricLogger:
         self._log.close()
         if self._csv:
             self._csv.close()
-        if self._tb is not None:
-            self._tb.close()
 
 
 def add_metrics(pred_points: np.ndarray, gt_points: np.ndarray):

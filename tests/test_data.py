@@ -97,3 +97,33 @@ def test_pose_batcher():
     # different epochs shuffle differently
     b2 = list(b.epoch())
     assert not np.allclose(batches[0][0], b2[0][0])
+
+
+def test_object_model_writer_roundtrip(tmp_path):
+    from cloudaae_tpu.data.ycb import write_object_models, load_object_models
+
+    rng = np.random.default_rng(0)
+    models = rng.normal(size=(3, 2048, 6)).astype(np.float32)
+    models[..., 3:] = np.abs(models[..., 3:]) % 1.0
+    path = str(tmp_path / "obj.tfrecords")
+    assert write_object_models(path, models) == 3
+    back = load_object_models(path)
+    assert back.shape == (3, 2048, 6)
+    assert np.allclose(back, models)
+
+
+def test_pose_record_writer_roundtrip(tmp_path):
+    from cloudaae_tpu.data.ycb import write_pose_records, load_pose_records
+
+    rng = np.random.default_rng(1)
+    d = tmp_path / "syn"
+    d.mkdir()
+    n = write_pose_records(
+        str(d / "0_syn.tfrecords"),
+        rng.normal(size=(10, 3)).astype(np.float32),
+        rng.normal(size=(10, 3)).astype(np.float32),
+        np.zeros(10, np.int64),
+    )
+    assert n == 10
+    poses = load_pose_records(str(d), classes=[0])
+    assert len(poses["class_id"]) == 10
