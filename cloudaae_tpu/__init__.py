@@ -31,3 +31,17 @@ Layer map (mirrors SURVEY.md §1/§7):
 __version__ = "0.1.0"
 
 from cloudaae_tpu import so3  # noqa: F401
+from cloudaae_tpu.config import Config  # noqa: F401
+
+
+def __getattr__(name):
+    # lazy heavy imports so `import cloudaae_tpu` stays light
+    if name == "Predictor":
+        from cloudaae_tpu.infer import Predictor
+
+        return Predictor
+    if name == "make_model":
+        from cloudaae_tpu.models import make_model
+
+        return make_model
+    raise AttributeError(name)

@@ -28,8 +28,7 @@ from cloudaae_tpu.models import make_model
 from cloudaae_tpu.parallel import (
     create_train_state,
     make_mesh,
-    make_train_step,
-    shard_batch,
+    make_train_step_from_table,
 )
 from cloudaae_tpu.parallel.mesh import shard_params
 
@@ -162,8 +161,6 @@ def main(argv=None):
             state,
             params=shard_params(mesh, state.params),
         )
-
-    from cloudaae_tpu.parallel import make_train_step_from_table
 
     train_step = make_train_step_from_table(model, cfg, obj_models, mesh)
     batcher = PoseBatcher(poses, cfg.train.batch_size, cfg.train.seed)
