@@ -170,7 +170,8 @@ def main(argv=None):
 
     step = int(state.step)
     t_epoch = time.time()
-    for epoch in range(cfg.train.max_epoch):
+    start_epoch = step // max(batcher.steps_per_epoch, 1)
+    for epoch in range(start_epoch, cfg.train.max_epoch):
         log.log_string(f"**** EPOCH {epoch:03d} ****")
         epoch_start_step = step
         # one 10 MB upload per epoch: the shuffled pose table lives on

@@ -92,6 +92,37 @@ def render_synth_sample(
     )
 
 
+def render_eval_result(
+    segment: np.ndarray,
+    model_points: np.ndarray,
+    R_pred: np.ndarray,
+    t_pred: np.ndarray,
+    R_gt: np.ndarray,
+    t_gt: np.ndarray,
+    out_path: str,
+    title: str = "",
+) -> None:
+    """Observed segment vs the model under predicted and gt poses —
+    the headless counterpart of the eval script's open3d windows
+    (evaluate_cloudAAE_ycbv.py:583-603)."""
+    pred = model_points @ np.asarray(R_pred).T + np.asarray(t_pred)
+    gt = model_points @ np.asarray(R_gt).T + np.asarray(t_gt)
+    plot_clouds(
+        [
+            (
+                "prediction vs segment",
+                [(segment, "tab:red", "segment"), (pred, "tab:blue", "model@pred")],
+            ),
+            (
+                "prediction vs ground truth",
+                [(gt, "tab:green", "model@gt"), (pred, "tab:blue", "model@pred")],
+            ),
+        ],
+        out_path,
+        title=title,
+    )
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--out", default="synth_sample.png")
