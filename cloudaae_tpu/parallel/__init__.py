@@ -7,7 +7,7 @@ FCs, all expressed as shardings on one jitted step — XLA inserts the
 collectives (psum for gradients, all-gathers around tp layers).
 """
 
-from cloudaae_tpu.parallel.mesh import make_mesh, shard_batch, shard_params
+from cloudaae_tpu.parallel.mesh import make_mesh, shard_batch, shard_params, shard_state
 from cloudaae_tpu.parallel.train_step import (
     TrainState,
     create_train_state,
@@ -20,6 +20,7 @@ __all__ = [
     "make_mesh",
     "shard_batch",
     "shard_params",
+    "shard_state",
     "TrainState",
     "create_train_state",
     "make_train_step",

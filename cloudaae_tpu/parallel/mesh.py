@@ -112,3 +112,20 @@ def param_shardings(mesh: Mesh, params):
 
 def replicated(mesh: Mesh):
     return NamedSharding(mesh, P())
+
+
+def shard_state(mesh: Mesh, state):
+    """Place a TrainState on the mesh: tp-sharded wide FC kernels, everything
+    else replicated (Adam moments stay replicated — GSPMD inserts the
+    gathers around the tp layers)."""
+    import dataclasses
+
+    rep = replicated(mesh)
+    put_rep = lambda tree: jax.tree.map(lambda x: jax.device_put(x, rep), tree)
+    return dataclasses.replace(
+        state,
+        params=shard_params(mesh, state.params),
+        batch_stats=put_rep(state.batch_stats),
+        opt_state=put_rep(state.opt_state),
+        step=jax.device_put(state.step, rep),
+    )

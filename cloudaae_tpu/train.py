@@ -30,7 +30,7 @@ from cloudaae_tpu.parallel import (
     make_mesh,
     make_train_step_from_table,
 )
-from cloudaae_tpu.parallel.mesh import shard_params
+from cloudaae_tpu.parallel.mesh import shard_state
 
 
 def get_parser() -> argparse.ArgumentParser:
@@ -157,10 +157,7 @@ def main(argv=None):
         state = checkpoint.restore(args.resume, state)
         log.log_string(f"resumed from {args.resume} at step {int(state.step)}")
     with mesh:
-        state = dataclasses.replace(
-            state,
-            params=shard_params(mesh, state.params),
-        )
+        state = shard_state(mesh, state)
 
     train_step = make_train_step_from_table(model, cfg, obj_models, mesh)
     batcher = PoseBatcher(poses, cfg.train.batch_size, cfg.train.seed)

@@ -1,0 +1,91 @@
+"""CLI integration tests: the real argparse entry points, tiny workloads.
+
+These run the actual ``main()`` functions (train / evaluate / visualize /
+infer) on the CPU mesh with reduced sizes — argument parsing, run-dir
+creation, checkpointing, logging, and the end-to-end wiring that unit
+tests bypass.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+HAVE_REF = os.path.isdir(os.path.join(REF, "ycb_video_data_tfRecords"))
+
+
+@pytest.mark.skipif(not HAVE_REF, reason="reference data absent")
+def test_train_cli_two_steps(tmp_path):
+    from cloudaae_tpu import train
+
+    state = train.main(
+        [
+            "--data-root", REF,
+            "--classes", "0",
+            "--batch-size", "8",
+            "--num-point", "64",
+            "--hpr-iters", "4",
+            "--max-steps", "2",
+            "--max-epoch", "1",
+            "--log-every", "1",
+            "--log-dir", str(tmp_path / "log"),
+        ]
+    )
+    assert int(state.step) == 2
+    run_dirs = list((tmp_path / "log" / "21" / "6d").iterdir())
+    assert len(run_dirs) == 1
+    run = run_dirs[0]
+    assert (run / "config.json").exists()
+    assert (run / "log_train.txt").exists()
+    assert (run / "metrics.csv").exists()
+    assert (run / "code_snapshot" / "cloudaae_tpu").is_dir()
+    # a checkpoint was written and is restorable via --resume
+    ckpts = list((run / "ckpt").iterdir())
+    assert len(ckpts) == 1
+
+    state2 = train.main(
+        [
+            "--data-root", REF,
+            "--classes", "0",
+            "--batch-size", "8",
+            "--num-point", "64",
+            "--hpr-iters", "4",
+            "--max-steps", "4",
+            "--max-epoch", "1",
+            "--log-every", "1",
+            "--log-dir", str(tmp_path / "log2"),
+            "--resume", str(run / "ckpt"),
+        ]
+    )
+    assert int(state2.step) == 4
+
+
+@pytest.mark.skipif(not HAVE_REF, reason="reference data absent")
+def test_evaluate_cli_synthetic(capsys):
+    from cloudaae_tpu import evaluate
+
+    res = evaluate.main(
+        ["--synthetic", "1", "--target-cls", "2", "--data-root", REF]
+    )
+    assert res.frames == 1
+    out = capsys.readouterr().out
+    assert "ADD" in out and "trans_loss" in out
+
+
+@pytest.mark.skipif(not HAVE_REF, reason="reference data absent")
+def test_visualize_cli(tmp_path):
+    pytest.importorskip("matplotlib")
+    from cloudaae_tpu import visualize
+
+    out = str(tmp_path / "s.png")
+    visualize.main(["--out", out, "--class-id", "3", "--data-root", REF])
+    assert os.path.getsize(out) > 5000
+
+
+def test_linemod_cli_help():
+    from cloudaae_tpu.data import linemod
+
+    with pytest.raises(SystemExit):
+        linemod.main(["--help"])
