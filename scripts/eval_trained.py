@@ -1,0 +1,124 @@
+"""Evaluate a trained checkpoint on synthetic rendered frames and write
+RESULTS.md — the round's accuracy evidence.
+
+    python scripts/eval_trained.py --ckpt runs/21/6d/<stamp>/ckpt \\
+        [--classes 0 5 9 13] [--frames 25] [--icp]
+
+Uses the z-buffer renderer (data.ycb_real.render_frame) as the frame
+source since the real YCB test tfrecords are a separate download absent
+from this environment (BASELINE.md).  The pipeline exercised is the full
+real-data path: depth image -> backprojection -> masking -> outlier
+removal -> FPS -> model -> ADD/ADD-S (+ optional ICP).
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--ckpt", required=True)
+    p.add_argument("--classes", type=int, nargs="*",
+                   default=[0, 2, 4, 5, 9, 13, 15, 19])
+    p.add_argument("--frames", type=int, default=25)
+    p.add_argument("--icp", action="store_true")
+    p.add_argument("--out", default="RESULTS.md")
+    p.add_argument("--data-root", default="/root/reference")
+    args = p.parse_args()
+
+    import jax
+    from scipy.spatial.transform import Rotation
+
+    from cloudaae_tpu import checkpoint
+    from cloudaae_tpu.config import Config, YCB_CLASS_NAMES
+    from cloudaae_tpu.data import load_object_models, ycb_real
+    from cloudaae_tpu.evaluate import evaluate_frames
+    from cloudaae_tpu.models import make_model
+    from cloudaae_tpu.parallel.train_step import create_train_state
+
+    cfg = Config()
+    obj_models = load_object_models(
+        os.path.join(args.data_root, "object_model_tfrecord/obj_models.tfrecords")
+    )
+    model = make_model(cfg.model)
+    state = create_train_state(model, cfg, jax.random.key(0))
+    state = checkpoint.restore(args.ckpt, state)
+    step = int(state.step)
+    print(f"evaluating checkpoint at step {step}", flush=True)
+
+    rows = []
+    for cls in args.classes:
+        rng = np.random.default_rng(1000 + cls)
+        frames = []
+        for i in range(args.frames):
+            R = Rotation.random(random_state=rng).as_matrix()
+            t = np.array(
+                [rng.normal(0, 0.04), rng.normal(0, 0.04), rng.uniform(0.6, 0.9)]
+            )
+            frames.append(
+                ycb_real.render_frame(
+                    obj_models, [cls], R[None], t[None], frame_id=i,
+                    rng=rng, depth_noise=0.002,
+                )
+            )
+        res = evaluate_frames(
+            frames, cls, state, model, cfg, obj_models,
+            icp=args.icp, verbose=False,
+        )
+        rows.append((cls, res))
+        print(
+            f"class {cls:2d} {YCB_CLASS_NAMES[cls]:24s} frames {res.frames:3d} "
+            f"trans {res.trans_err*100:.2f}cm rot {np.degrees(res.axag_err):.1f}deg "
+            f"ADD {res.add*100:.2f}cm ADD-S {res.add_s*100:.2f}cm "
+            f"ADD<2cm {res.add_2cm:.2f} ADD-S<2cm {res.add_s_2cm:.2f}",
+            flush=True,
+        )
+
+    valid = [r for _, r in rows if r.frames > 0]
+    mean = lambda f: float(np.mean([f(r) for r in valid]))
+    with open(args.out, "w") as f:
+        f.write("# Round results — trained checkpoint evaluation\n\n")
+        f.write(
+            f"Checkpoint: `{args.ckpt}` (step {step}, "
+            f"{step * 128 / 381553:.1f} epochs of the 90-epoch reference "
+            f"recipe)\n\n"
+        )
+        f.write(
+            f"Protocol: full real-data eval pipeline on {args.frames} "
+            "z-buffer-rendered frames per class (depth noise sigma 2 mm); "
+            "random poses in the frustum. ICP: "
+            f"{'on' if args.icp else 'off'}.\n\n"
+        )
+        f.write("| class | frames | trans (cm) | rot (deg) | ADD (cm) | "
+                "ADD-S (cm) | ADD<2cm | ADD-S<2cm | ADD<0.1d | ADD-S<0.1d |\n")
+        f.write("|---|---|---|---|---|---|---|---|---|---|\n")
+        for cls, r in rows:
+            f.write(
+                f"| {cls} {YCB_CLASS_NAMES[cls]} | {r.frames} "
+                f"| {r.trans_err*100:.2f} | {np.degrees(r.axag_err):.1f} "
+                f"| {r.add*100:.2f} | {r.add_s*100:.2f} "
+                f"| {r.add_2cm:.2f} | {r.add_s_2cm:.2f} "
+                f"| {r.add_01d:.2f} | {r.add_s_01d:.2f} |\n"
+            )
+        f.write(
+            f"| **mean** | | **{mean(lambda r: r.trans_err)*100:.2f}** "
+            f"| **{np.degrees(mean(lambda r: r.axag_err)):.1f}** "
+            f"| **{mean(lambda r: r.add)*100:.2f}** "
+            f"| **{mean(lambda r: r.add_s)*100:.2f}** "
+            f"| **{mean(lambda r: r.add_2cm):.2f}** "
+            f"| **{mean(lambda r: r.add_s_2cm):.2f}** "
+            f"| **{mean(lambda r: r.add_01d):.2f}** "
+            f"| **{mean(lambda r: r.add_s_01d):.2f}** |\n"
+        )
+    print(f"wrote {args.out}")
+    print(json.dumps({"mean_add_cm": mean(lambda r: r.add) * 100}))
+
+
+if __name__ == "__main__":
+    main()
