@@ -1,0 +1,77 @@
+"""Extended benchmark suite: all BASELINE.json headline configs.
+
+Prints one JSON line per metric (bench.py remains the single-line headline
+the driver records):
+
+  1. end-to-end synthesized+trained samples/sec (the bench.py metric)
+  2. on-device synthetic datagen: segments/sec at training batch rate
+  3. inference poses/sec at the 256-point config
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def synth_bench(batch_size: int = 128, iters: int = 30) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from cloudaae_tpu.config import Config
+    from cloudaae_tpu.data import load_object_models
+    from cloudaae_tpu.synth import synthesize_batch
+
+    cfg = Config()
+    obj = load_object_models(
+        "/root/reference/object_model_tfrecord/obj_models.tfrecords"
+    )[..., :3].astype(np.float32)
+    rng = np.random.default_rng(0)
+    b = batch_size
+    cls = jnp.asarray(rng.integers(0, 21, b).astype(np.int32))
+    axag = jnp.asarray(rng.normal(0, 1.2, (b, 3)).astype(np.float32))
+    trans = jnp.asarray(
+        np.concatenate(
+            [rng.normal(0, 0.04, (b, 2)), rng.uniform(0.6, 0.9, (b, 1))], axis=1
+        ).astype(np.float32)
+    )
+
+    @jax.jit
+    def fn(key):
+        out = synthesize_batch(obj, cls, axag, trans, key, cfg.synth)
+        # consume both outputs so neither HPR pass is dead-code-eliminated
+        return jnp.sum(out["input_points"]) + jnp.sum(out["target_points"])
+
+    keys = [jax.random.key(i) for i in range(iters + 1)]
+    float(np.asarray(fn(keys[-1])))
+    t0 = time.perf_counter()
+    acc = None
+    for i in range(iters):
+        acc = fn(keys[i])
+    float(np.asarray(acc))
+    dt = time.perf_counter() - t0
+    return {
+        "metric": "synth_segments_per_sec",
+        "value": round(iters * b / dt, 1),
+        "unit": "synthesized (input+target) segment pairs/sec/chip (B=128)",
+    }
+
+
+def main():
+    import subprocess
+    import sys
+
+    # 1. headline (runs in this process's TPU context)
+    import bench
+
+    bench.main()
+    # 2. synthesis-only
+    print(json.dumps(synth_bench()))
+    # 3. inference
+    from cloudaae_tpu.infer import bench as infer_bench
+
+    print(json.dumps(infer_bench()))
+
+
+if __name__ == "__main__":
+    main()

@@ -139,3 +139,38 @@ def test_transform_points(rng):
     out = so3.transform_points(jnp.asarray(pts), R, jnp.asarray(t))
     want = np.einsum("bij,bnj->bni", np.asarray(R), pts) + t[:, None]
     assert np.max(np.abs(np.asarray(out) - want)) < 1e-5
+
+
+def test_f32_matches_f64_jax(rng):
+    """SURVEY §7 hard-part #4: the reference runs rotation math in float64;
+    validate that our f32-with-Taylor-branches matches a true-f64 jax run
+    to well under the loss's meaningful scale."""
+    import jax
+
+    axag = rng.normal(size=(256, 3)).astype(np.float64)
+    norms = np.linalg.norm(axag, axis=-1, keepdims=True)
+    axag = axag / norms * np.minimum(norms, 3.1)
+    pred = axag + rng.normal(size=axag.shape) * 0.05
+
+    mean32, per32 = so3.rotation_error(
+        jnp.asarray(axag, jnp.float32), jnp.asarray(pred, jnp.float32)
+    )
+    with jax.enable_x64():
+        mean64, per64 = so3.rotation_error(
+            jnp.asarray(axag, jnp.float64), jnp.asarray(pred, jnp.float64)
+        )
+    # acos clamp floors tiny angles at ~4.5e-4 rad in both dtypes;
+    # everything here is ~0.05 rad so direct comparison is meaningful
+    assert abs(float(mean32) - float(mean64)) < 5e-4
+    assert np.max(np.abs(np.asarray(per32) - np.asarray(per64))) < 5e-3
+
+
+def test_exp_map_f64_support(rng):
+    import jax
+
+    axag = rng.normal(size=(16, 3))
+    with jax.enable_x64():
+        R = so3.exp_map(jnp.asarray(axag, jnp.float64))
+        assert R.dtype == jnp.float64
+        eye = np.einsum("bij,bkj->bik", np.asarray(R), np.asarray(R))
+        assert np.max(np.abs(eye - np.eye(3))) < 1e-12
