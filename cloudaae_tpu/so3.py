@@ -196,6 +196,45 @@ def quat_to_mat(q: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def twist_angle(R: jnp.ndarray, axis: jnp.ndarray) -> jnp.ndarray:
+    """Twist of a rotation about a given unit axis (swing-twist split).
+
+    For q = (w, v): twist about a = 2 atan2(<v, a>, w) — the angle of the
+    component of R that rotates about ``axis``.
+
+    Args:
+      R: (..., 3, 3); axis: (..., 3) or (3,) unit vector.
+    Returns:
+      (...,) twist angle in (-pi, pi].
+    """
+    axag, _ = log_map(R)
+    q = axag_to_quat(axag)
+    w = q[..., 0]
+    proj = jnp.sum(q[..., 1:] * axis, axis=-1)
+    return 2.0 * jnp.arctan2(proj, w)
+
+
+def rotation_decomp(R: jnp.ndarray, axes: jnp.ndarray) -> jnp.ndarray:
+    """Per-axis twist decomposition of a rotation batch.
+
+    Capability parity with the ``rotation_decomp`` diagnostic used by the
+    shipped-checkpoint training script
+    (trained_network/.../train_6d_...compact.py:329-350): decompose each
+    rotation into its twist about each of the given (symmetry) axes, e.g.
+    to report decomp_loss_x/y/z summaries.
+
+    Args:
+      R: (B, 3, 3); axes: (K, 3) unit axes.
+    Returns:
+      (B, K) twist angles.
+    """
+    import jax
+
+    return jax.vmap(
+        lambda a: twist_angle(R, a), out_axes=-1
+    )(axes)
+
+
 def transform_points(points: jnp.ndarray, R: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
     """Apply a rigid transform: (..., N, 3) @ R^T + t.
 

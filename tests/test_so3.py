@@ -174,3 +174,24 @@ def test_exp_map_f64_support(rng):
         assert R.dtype == jnp.float64
         eye = np.einsum("bij,bkj->bik", np.asarray(R), np.asarray(R))
         assert np.max(np.abs(eye - np.eye(3))) < 1e-12
+
+
+def test_rotation_decomp_twist(rng):
+    """Twist about the rotation's own axis = the angle; about orthogonal
+    axes = 0 (parity with the snapshot script's rotation_decomp diagnostic)."""
+    axes = np.eye(3, dtype=np.float32)
+    # rotation purely about z by 0.6 rad
+    R = so3.exp_map(jnp.asarray([[0.0, 0.0, 0.6]], jnp.float32))
+    dec = np.asarray(so3.rotation_decomp(R, jnp.asarray(axes)))
+    assert dec.shape == (1, 3)
+    assert abs(dec[0, 2] - 0.6) < 1e-4
+    assert abs(dec[0, 0]) < 1e-4 and abs(dec[0, 1]) < 1e-4
+
+    # generic rotation: twist about its own axis equals its angle
+    axag = rng.normal(size=(8, 3)).astype(np.float32)
+    n = np.linalg.norm(axag, axis=-1, keepdims=True)
+    axag = axag / n * np.minimum(n, 2.5)
+    R = so3.exp_map(jnp.asarray(axag))
+    own_axis = axag / np.linalg.norm(axag, axis=-1, keepdims=True)
+    tw = np.asarray(so3.twist_angle(R, jnp.asarray(own_axis)))
+    assert np.allclose(np.abs(tw), np.linalg.norm(axag, axis=-1), atol=2e-3)
