@@ -58,9 +58,6 @@ def synth_bench(batch_size: int = 128, iters: int = 30) -> dict:
 
 
 def main():
-    import subprocess
-    import sys
-
     # 1. headline (runs in this process's TPU context)
     import bench
 

@@ -38,7 +38,7 @@ import jax.numpy as jnp
 
 from cloudaae_tpu.config import ModelConfig
 from cloudaae_tpu.models.layers import Dense, EmaBatchNorm
-from cloudaae_tpu.ops.knn import edge_feature, knn_indices, pairwise_sq_dist
+from cloudaae_tpu.ops.knn import gather_rows, knn_indices, pairwise_sq_dist
 
 
 def _dtype_of(cfg: ModelConfig):
@@ -84,8 +84,6 @@ class _EdgeConv(nn.Module):
     @nn.compact
     def __call__(self, x, nn_idx, train: bool, momentum):
         a, v = _SplitEdgeKernel(self.features, self.dtype, name="dense")(x)
-        from cloudaae_tpu.ops.knn import gather_rows
-
         *batch, n, k = nn_idx.shape
         v_nbr = gather_rows(v, nn_idx.reshape(*batch, n * k)).reshape(
             *batch, n, k, self.features
