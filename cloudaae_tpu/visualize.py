@@ -123,6 +123,37 @@ def render_eval_result(
     )
 
 
+def plot_loss_curves(metrics_csv: str, out_path: str) -> None:
+    """Loss curves from a run's metrics.csv (train.py / MetricLogger)."""
+    import csv
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    cols: dict[str, list] = {}
+    with open(metrics_csv) as f:
+        for row in csv.DictReader(f):
+            for k, v in row.items():
+                cols.setdefault(k, []).append(float(v))
+    fig, axes = plt.subplots(1, 3, figsize=(15, 4))
+    steps = cols["step"]
+    for ax, key, scale in (
+        (axes[0], "xyz_loss", "log"),
+        (axes[1], "trans_loss", "log"),
+        (axes[2], "axag_loss", "linear"),
+    ):
+        ax.plot(steps, cols[key], lw=0.8)
+        ax.set_yscale(scale)
+        ax.set_title(key)
+        ax.set_xlabel("step")
+        ax.grid(alpha=0.3)
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=120)
+    plt.close(fig)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--out", default="synth_sample.png")
