@@ -133,11 +133,11 @@ def eval_preprocess(
     }
 
 
-def make_eval_forward(model, cfg: Config, obj_models: np.ndarray, icp: bool):
-    """Jitted per-sample eval: segment -> pose + losses + ADD/ADD-S."""
+def make_eval_forward(model, cfg: Config, obj_models: np.ndarray, icp: bool,
+                      jit: bool = True):
+    """Per-sample eval: segment -> pose + losses + ADD/ADD-S."""
     obj_models_np = np.asarray(obj_models[..., :3], np.float32)
 
-    @jax.jit
     def fwd(variables, segment, seg_full, seg_full_mask, cls, quat, trans_gt, key):
         # segment: (N, 3) FPS-sampled inlier points (graph input, :423-434)
         axag_gt = so3.quat_to_axag(quat)
@@ -207,7 +207,7 @@ def make_eval_forward(model, cfg: Config, obj_models: np.ndarray, icp: bool):
             "trans_pred": trans_pred,
         }
 
-    return fwd
+    return jax.jit(fwd) if jit else fwd
 
 
 @dataclass
@@ -282,6 +282,107 @@ def evaluate_frames(
                 f"ADD {out['add']:.6f} ADD-S {out['add_s']:.6f}",
                 flush=True,
             )
+    n = len(acc["trans_err"])
+    if n == 0:
+        return EvalResult(0, float("nan"), float("nan"), float("nan"),
+                          float("nan"), 0.0, 0.0, 0.0, 0.0)
+    add = np.asarray(acc["add"])
+    add_s = np.asarray(acc["add_s"])
+    diam = np.asarray(acc["diam"])
+    thr = 0.02
+    return EvalResult(
+        frames=n,
+        trans_err=float(np.mean(acc["trans_err"])),
+        axag_err=float(np.mean(acc["axag_err"])),
+        add=float(np.mean(add)),
+        add_s=float(np.mean(add_s)),
+        add_2cm=float(np.mean(add < thr)),
+        add_s_2cm=float(np.mean(add_s < thr)),
+        add_01d=float(np.mean(add < 0.1 * diam)),
+        add_s_01d=float(np.mean(add_s < 0.1 * diam)),
+    )
+
+
+def evaluate_frames_batched(
+    frames: list,
+    target_cls: int,
+    state,
+    model,
+    cfg: Config,
+    obj_models: np.ndarray,
+    icp: bool = False,
+    chunk: int = 16,
+) -> EvalResult:
+    """Batched evaluation: frames are stacked and processed in vmapped
+    chunks — one device program per chunk instead of two dispatches per
+    frame (per-dispatch round trips dominate on tunneled backends).
+
+    Same pipeline and results as :func:`evaluate_frames`; frames whose
+    segment fails the validity gates are dropped from the averages exactly
+    as the reference's dataset filters drop them
+    (evaluate_cloudAAE_ycbv.py:318-322).
+    """
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    fwd_raw = make_eval_forward(model, cfg, obj_models, icp, jit=False)
+
+    frames = [f for f in frames if f.class_one_hot[target_cls]]
+    if not frames:
+        return EvalResult(0, float("nan"), float("nan"), float("nan"),
+                          float("nan"), 0.0, 0.0, 0.0, 0.0)
+
+    pre_batch = jax.jit(
+        jax.vmap(
+            lambda d, l, intr, k: eval_preprocess(
+                d, l, jnp.asarray(target_cls), intr, k,
+                cfg.eval.num_point, cfg.eval,
+            )
+        ),
+        static_argnums=(),
+    )
+    fwd_batch = jax.jit(
+        jax.vmap(
+            lambda seg, full, fmask, quat, tgt, k: fwd_raw(
+                variables, seg, full, fmask, jnp.asarray(target_cls),
+                quat, tgt, k,
+            )
+        )
+    )
+
+    acc: dict[str, list] = {k: [] for k in
+                            ("trans_err", "axag_err", "add", "add_s", "diam")}
+    key = jax.random.key(0)
+    for c0 in range(0, len(frames), chunk):
+        fs = frames[c0 : c0 + chunk]
+        depth = jnp.asarray(np.stack([f.depth for f in fs]))
+        label = jnp.asarray(np.stack([f.label for f in fs]))
+        intr = jnp.asarray(
+            np.stack(
+                [[f.fx, f.fy, f.cx, f.cy, f.factor_depth] for f in fs]
+            ).astype(np.float32)
+        )
+        quat = jnp.asarray(
+            np.stack([f.quaternions[target_cls] for f in fs]).astype(np.float32)
+        )
+        tgt = jnp.asarray(
+            np.stack([f.translations[target_cls] for f in fs]).astype(np.float32)
+        )
+        key, k1, k2 = jax.random.split(key, 3)
+        pre = pre_batch(depth, label, intr, jax.random.split(k1, len(fs)))
+        out = fwd_batch(
+            pre["xyz_inlier"], pre["segment"], pre["seg_mask"],
+            quat, tgt, jax.random.split(k2, len(fs)),
+        )
+        ok = np.asarray(pre["ok"])
+        host = jax.device_get(out)
+        for i in range(len(fs)):
+            if not ok[i]:
+                continue
+            acc["trans_err"].append(float(host["trans_err"][i]))
+            acc["axag_err"].append(float(host["axag_err"][i]))
+            acc["add"].append(float(host["add"][i]))
+            acc["add_s"].append(float(host["add_s"][i]))
+            acc["diam"].append(float(host["diameter"][i]))
+
     n = len(acc["trans_err"])
     if n == 0:
         return EvalResult(0, float("nan"), float("nan"), float("nan"),

@@ -156,3 +156,26 @@ def test_evaluate_with_icp(obj_models):
     )
     assert res.frames == 1
     assert np.isfinite(res.add)
+
+
+def test_batched_eval_matches_per_frame(obj_models):
+    """evaluate_frames_batched must reproduce evaluate_frames' metrics."""
+    from cloudaae_tpu.evaluate import evaluate_frames_batched
+
+    cfg = Config()
+    model = make_model(cfg.model)
+    state = create_train_state(model, cfg, jax.random.key(0))
+    rng = np.random.default_rng(12)
+    frames = []
+    for i in range(3):
+        _, R, t = make_pose(rng)
+        frames.append(
+            ycb_real.render_frame(obj_models, [6], R[None], t[None], frame_id=i)
+        )
+    a = evaluate_frames(frames, 6, state, model, cfg, obj_models, verbose=False)
+    b = evaluate_frames_batched(frames, 6, state, model, cfg, obj_models, chunk=2)
+    assert a.frames == b.frames == 3
+    # the FPS random starts use different keys per path; tolerances reflect
+    # sampling noise, not numerics
+    assert abs(a.trans_err - b.trans_err) < 0.02
+    assert abs(a.add - b.add) < 0.05
