@@ -38,7 +38,7 @@ def main():
     from cloudaae_tpu import checkpoint
     from cloudaae_tpu.config import Config, YCB_CLASS_NAMES
     from cloudaae_tpu.data import load_object_models, ycb_real
-    from cloudaae_tpu.evaluate import evaluate_frames
+    from cloudaae_tpu.evaluate import evaluate_frames_batched
     from cloudaae_tpu.models import make_model
     from cloudaae_tpu.parallel.train_step import create_train_state
 
@@ -67,9 +67,8 @@ def main():
                     rng=rng, depth_noise=0.002,
                 )
             )
-        res = evaluate_frames(
-            frames, cls, state, model, cfg, obj_models,
-            icp=args.icp, verbose=False,
+        res = evaluate_frames_batched(
+            frames, cls, state, model, cfg, obj_models, icp=args.icp,
         )
         rows.append((cls, res))
         print(
