@@ -57,6 +57,38 @@ def synth_bench(batch_size: int = 128, iters: int = 30) -> dict:
     }
 
 
+def chamfer_microbench(iters: int = 100) -> dict:
+    """The reference's own Chamfer micro-benchmark config:
+    (32, 16384, 3) x (32, 1024, 3), 100 iterations
+    (tf_ops/nn_distance/tf_nndistance.py:47-66 — it records no result)."""
+    import jax
+    import jax.numpy as jnp
+
+    from cloudaae_tpu.ops import nn_distance
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(32, 16384, 3)).astype(np.float32))
+    y = jnp.asarray(rng.normal(size=(32, 1024, 3)).astype(np.float32))
+
+    @jax.jit
+    def fn(x, y):
+        d1, _, d2, _ = nn_distance(x, y)
+        return jnp.sum(d1) + jnp.sum(d2)
+
+    float(np.asarray(fn(x, y)))
+    t0 = time.perf_counter()
+    acc = None
+    for _ in range(iters):
+        acc = fn(x, y)
+    float(np.asarray(acc))
+    dt = time.perf_counter() - t0
+    return {
+        "metric": "chamfer_microbench_ms",
+        "value": round(dt / iters * 1000, 2),
+        "unit": "ms/iter at the reference harness config (32,16384,3)x(32,1024,3)",
+    }
+
+
 def main():
     # 1. headline (runs in this process's TPU context)
     import bench
@@ -68,6 +100,8 @@ def main():
     from cloudaae_tpu.infer import bench as infer_bench
 
     print(json.dumps(infer_bench()))
+    # 4. the reference's own chamfer micro-bench config
+    print(json.dumps(chamfer_microbench()))
 
 
 if __name__ == "__main__":
