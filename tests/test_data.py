@@ -127,3 +127,28 @@ def test_pose_record_writer_roundtrip(tmp_path):
     assert n == 10
     poses = load_pose_records(str(d), classes=[0])
     assert len(poses["class_id"]) == 10
+
+
+def test_truncated_tfrecord_raises(tmp_path):
+    payload = tfrecord.example_bytes({"x": np.zeros(3, np.float32)})
+    path = str(tmp_path / "t.tfrecords")
+    tfrecord.write_tfrecord(path, [payload])
+    data = open(path, "rb").read()
+    with open(path, "wb") as f:
+        f.write(data[:-6])  # chop the payload crc + tail
+    with pytest.raises(ValueError, match="truncated"):
+        list(tfrecord.iter_tfrecord(path))
+
+
+def test_corrupt_crc_detected_when_verifying(tmp_path):
+    payload = tfrecord.example_bytes({"x": np.zeros(3, np.float32)})
+    path = str(tmp_path / "c.tfrecords")
+    tfrecord.write_tfrecord(path, [payload])
+    data = bytearray(open(path, "rb").read())
+    data[14] ^= 0xFF  # flip a payload byte
+    with open(path, "wb") as f:
+        f.write(data)
+    with pytest.raises(ValueError, match="crc"):
+        list(tfrecord.iter_tfrecord(path, verify=True))
+    # without verification the (corrupt) payload still round-trips the framing
+    assert len(list(tfrecord.iter_tfrecord(path))) == 1
