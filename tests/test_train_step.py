@@ -208,3 +208,32 @@ def test_table_step_matches_batch_step(obj_models):
     a = jax.tree.leaves(s1.params)[0]
     b = jax.tree.leaves(s2.params)[0]
     assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_table_step_on_dp_mesh(obj_models):
+    """Table-sliced batches shard across dp under the mesh constraint."""
+    from cloudaae_tpu.parallel import shard_state
+    from cloudaae_tpu.parallel.train_step import make_train_step_from_table
+
+    cfg = tiny_config(dp=8)
+    model = make_model(cfg.model)
+    mesh = make_mesh(dp=8, tp=1)
+    state = create_train_state(model, cfg, jax.random.key(0))
+    rng = np.random.default_rng(21)
+    n = 2 * B
+    table = (
+        np.concatenate(
+            [rng.normal(0, 0.03, (n, 2)), rng.uniform(0.6, 0.9, (n, 1))], axis=1
+        ).astype(np.float32),
+        rng.normal(0, 1.0, (n, 3)).astype(np.float32),
+        rng.integers(0, NUM_CLASS, n).astype(np.int32),
+    )
+    with mesh:
+        state = shard_state(mesh, state)
+        step_fn = make_train_step_from_table(model, cfg, obj_models, mesh)
+        dev_table = jax.device_put(table)
+        for i in range(2):
+            state, m = step_fn(state, dev_table, np.asarray(i * B, np.int32),
+                               jax.random.key(1))
+    assert np.isfinite(float(m["total_loss"]))
+    assert int(state.step) == 2
