@@ -267,6 +267,10 @@ _PRESETS: dict[str, dict] = {
     "dgcnn_ae_max": dict(aggregation="max", with_heads=False),
     "dgcnn_ae_mean": dict(aggregation="mean", with_heads=False),
     "dgcnn_mean_6d": dict(),
+    # the reference's `_2` builder is the same net under a second variable
+    # scope for dual-instance graphs (models:726) — in flax that's just a
+    # second module instance; the preset exists so names map 1:1.
+    "dgcnn_mean_6d_2": dict(),
     "dgcnn_mean_6d_hand": dict(recon_channels=5, recon_multiplier=1),
     "dgcnn_max_6d": dict(aggregation="max"),
     "dgcnn_mean_vae": dict(vae=True, with_heads=False),
