@@ -57,6 +57,26 @@ def restore(ckpt_dir: str, target: Any, step: int | None = None) -> Any:
         return ckptr.restore(path, target)
 
 
+def transfer_encoder(src_state: Any, dst_state: Any) -> Any:
+    """Copy encoder params + batch stats from one state into another.
+
+    The scope-filtered partial restore the shipped checkpoint's finetune
+    used (trained_network/.../train_6d_...compact.py:372-409: restore only
+    dgcnn1..dgcnn_agg) — here the encoder subtree moves wholesale; combine
+    with TrainConfig.train_encoder=False to freeze it.
+    """
+    import dataclasses
+
+    params = dict(dst_state.params)
+    params["encoder"] = src_state.params["encoder"]
+    stats = dict(dst_state.batch_stats)
+    stats["encoder"] = src_state.batch_stats["encoder"]
+    return dataclasses.replace(
+        dst_state, params=type(dst_state.params)(params),
+        batch_stats=type(dst_state.batch_stats)(stats),
+    )
+
+
 # ------------------------------------------------------- TF-name mapping
 
 # flax module path fragments -> TF variable scopes

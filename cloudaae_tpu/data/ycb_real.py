@@ -108,6 +108,67 @@ def iter_real_frames(path: str, num_class: int = 21):
         yield parse_real_frame(payload, num_class)
 
 
+# ------------------------------------------------- FPS1024 real records
+
+
+def parse_fps_record(payload: bytes, total_num_point: int = 1024) -> dict:
+    """Decode one pre-sampled real-segment record.
+
+    The schema the shipped checkpoint was actually trained on
+    (trained_network/.../train_6d_...compact.py:85-95, SURVEY.md §2.9):
+    {xyz f32[P,3], rgb f32[P,3], translation f32[3], quaternion f32[4],
+     num_valid_points_in_segment, seq_id, frame_id, class_id}.
+    """
+    ex = tfrecord.parse_example(payload)
+    return {
+        "xyz": ex["xyz"].float_list.reshape(total_num_point, 3),
+        "rgb": ex["rgb"].float_list.reshape(total_num_point, 3),
+        "translation": ex["translation"].float_list,
+        "quaternion": ex["quaternion"].float_list,
+        "num_valid_points_in_segment": int(
+            ex["num_valid_points_in_segment"].int64_list[0]
+        ),
+        "seq_id": int(ex["seq_id"].int64_list[0]),
+        "frame_id": int(ex["frame_id"].int64_list[0]),
+        "class_id": int(ex["class_id"].int64_list[0]),
+    }
+
+
+def fps_record_bytes(rec: dict) -> bytes:
+    return tfrecord.example_bytes(
+        {
+            "xyz": np.asarray(rec["xyz"], np.float32),
+            "rgb": np.asarray(rec["rgb"], np.float32),
+            "translation": np.asarray(rec["translation"], np.float32),
+            "quaternion": np.asarray(rec["quaternion"], np.float32),
+            "num_valid_points_in_segment": np.asarray(
+                [rec["num_valid_points_in_segment"]], np.int64
+            ),
+            "seq_id": np.asarray([rec.get("seq_id", 0)], np.int64),
+            "frame_id": np.asarray([rec.get("frame_id", 0)], np.int64),
+            "class_id": np.asarray([rec["class_id"]], np.int64),
+        }
+    )
+
+
+def load_fps_records(paths, total_num_point: int = 1024) -> dict:
+    """Load FPS-presampled real records into stacked arrays for training."""
+    xyz, trans, quat, cls = [], [], [], []
+    for path in paths:
+        for payload in tfrecord.iter_tfrecord(path):
+            r = parse_fps_record(payload, total_num_point)
+            xyz.append(r["xyz"])
+            trans.append(r["translation"])
+            quat.append(r["quaternion"])
+            cls.append(r["class_id"])
+    return {
+        "xyz": np.stack(xyz).astype(np.float32),
+        "translation": np.stack(trans).astype(np.float32),
+        "quaternion": np.stack(quat).astype(np.float32),
+        "class_id": np.asarray(cls, np.int32),
+    }
+
+
 # -------------------------------------------------------------- renderer
 
 

@@ -260,6 +260,97 @@ def make_train_step_from_table(
     return jax.jit(step_fn, donate_argnums=0)
 
 
+def make_train_step_real(model: CloudAAE, cfg: Config, obj_models: jnp.ndarray):
+    """Train step for REAL pre-sampled segments — the shipped checkpoint's
+    actual recipe (trained_network/.../train_6d_...compact.py:273-328):
+    input = the first N points of an FPS-presampled real segment (no
+    occluder injection, no sensor noise), reconstruction target = the clean
+    HPR-visible segment of the gt-posed model, same 3-term loss.  Combine
+    with ``TrainConfig.train_encoder=False`` (+ checkpoint.transfer_encoder)
+    for frozen-encoder finetuning.
+
+    batch = (xyz (B, total_N, 3), quaternion (B, 4), translation (B, 3),
+             class_id (B,)).
+    """
+    tx = make_optimizer(cfg)
+    obj_models_np = np.asarray(obj_models[..., :3], np.float32)
+
+    def step_fn(state: TrainState, batch, key: jax.Array):
+        xyz_full, quat, translation, class_id = batch
+        momentum = bn_decay_at(
+            state.step.astype(jnp.float32) * cfg.train.batch_size, cfg.model
+        )
+        step_key = jax.random.fold_in(key, state.step)
+        axisangle = so3.quat_to_axag(quat)
+
+        # clean reconstruction target: HPR-visible segment of the gt pose
+        from cloudaae_tpu.ops import hpr as hpr_mod
+
+        models = jnp.asarray(obj_models_np)[class_id]
+        rot_gt = so3.exp_map(axisangle)
+        posed = so3.transform_points(models, rot_gt, translation)
+        keys = jax.random.split(step_key, posed.shape[0])
+        target, _, _ = jax.vmap(
+            lambda p, k: hpr_mod.hidden_point_removal(
+                p, cfg.synth.num_target_points, k, cfg.synth.hpr_param,
+                iters=cfg.synth.hpr_iters, slack=cfg.synth.hpr_slack,
+            )
+        )(posed, keys)
+        target = jax.lax.stop_gradient(target)
+
+        vis = xyz_full[:, : cfg.synth.num_input_points, :]
+        onehot = jax.nn.one_hot(class_id, cfg.model.num_class, dtype=vis.dtype)
+        onehot = jnp.broadcast_to(
+            onehot[:, None, :], (*vis.shape[:2], cfg.model.num_class)
+        )
+        mean = jnp.mean(vis, axis=1)
+        net_in = jnp.concatenate([vis - mean[:, None], onehot], axis=-1)
+
+        def loss_fn(params):
+            (recon_res, rot_pred, trans_res, _), upd = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                net_in,
+                train_encoder=cfg.train.train_encoder,
+                train_heads=cfg.train.train_heads,
+                momentum=momentum,
+                mutable=["batch_stats"],
+            )
+            recon = recon_res + mean[:, None, :]
+            trans_pred = trans_res + mean
+            xyz_loss, _ = chamfer_loss(recon, target)
+            trans_loss, _ = so3.translation_error(trans_pred, translation)
+            axag_loss, _ = so3.rotation_error(rot_pred, axisangle)
+            total = (
+                cfg.loss.chamfer_weight * xyz_loss
+                + cfg.loss.trans_weight * trans_loss
+                + cfg.loss.rot_weight * axag_loss
+            )
+            metrics = {
+                "total_loss": total,
+                "xyz_loss": xyz_loss,
+                "trans_loss": trans_loss,
+                "axag_loss": axag_loss,
+            }
+            return total, (upd["batch_stats"], metrics)
+
+        grads, (new_stats, metrics) = jax.grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(
+                params=new_params,
+                batch_stats=new_stats,
+                opt_state=new_opt,
+                step=state.step + 1,
+            ),
+            metrics,
+        )
+
+    return jax.jit(step_fn, donate_argnums=0)
+
+
 def make_eval_step(model: CloudAAE, cfg: Config, obj_models: jnp.ndarray):
     """Synthetic-data eval step: losses + predictions, no state mutation."""
     obj_models = np.asarray(obj_models[..., :3], np.float32)

@@ -152,3 +152,31 @@ def test_corrupt_crc_detected_when_verifying(tmp_path):
         list(tfrecord.iter_tfrecord(path, verify=True))
     # without verification the (corrupt) payload still round-trips the framing
     assert len(list(tfrecord.iter_tfrecord(path))) == 1
+
+
+def test_fps_record_roundtrip(tmp_path):
+    from cloudaae_tpu.data.ycb_real import (
+        fps_record_bytes, load_fps_records, parse_fps_record,
+    )
+
+    rng = np.random.default_rng(2)
+    rec = {
+        "xyz": rng.normal(size=(1024, 3)).astype(np.float32),
+        "rgb": rng.random((1024, 3)).astype(np.float32),
+        "translation": rng.normal(size=3).astype(np.float32),
+        "quaternion": rng.normal(size=4).astype(np.float32),
+        "num_valid_points_in_segment": 800,
+        "seq_id": 48,
+        "frame_id": 12,
+        "class_id": 7,
+    }
+    payload = fps_record_bytes(rec)
+    back = parse_fps_record(payload)
+    assert np.allclose(back["xyz"], rec["xyz"])
+    assert back["class_id"] == 7 and back["seq_id"] == 48
+
+    path = str(tmp_path / "real.tfrecords")
+    tfrecord.write_tfrecord(path, [payload, payload])
+    table = load_fps_records([path])
+    assert table["xyz"].shape == (2, 1024, 3)
+    assert (table["class_id"] == 7).all()

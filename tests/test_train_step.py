@@ -237,3 +237,51 @@ def test_table_step_on_dp_mesh(obj_models):
                                jax.random.key(1))
     assert np.isfinite(float(m["total_loss"]))
     assert int(state.step) == 2
+
+
+def test_real_data_train_step_and_encoder_transfer(obj_models):
+    """The shipped checkpoint's recipe: frozen encoder transferred from a
+    synthetic run, heads finetuned on real pre-sampled segments."""
+    from cloudaae_tpu import checkpoint, so3
+    from cloudaae_tpu.parallel.train_step import make_train_step_real
+
+    # a 'synthetic-pretrained' source state
+    cfg_syn = tiny_config()
+    model = make_model(cfg_syn.model)
+    src = create_train_state(model, cfg_syn, jax.random.key(1))
+
+    # destination: frozen-encoder finetune config
+    cfg = tiny_config(train_encoder=False)
+    dst = create_train_state(model, cfg, jax.random.key(2))
+    dst = checkpoint.transfer_encoder(src, dst)
+    a = jax.tree.leaves(src.params["encoder"])[0]
+    b = jax.tree.leaves(dst.params["encoder"])[0]
+    assert np.allclose(np.asarray(a), np.asarray(b))
+
+    # fake FPS-presampled real segments: gt-posed model points
+    rng = np.random.default_rng(3)
+    cls = rng.integers(0, NUM_CLASS, B).astype(np.int32)
+    axag = rng.normal(0, 1.0, (B, 3)).astype(np.float32)
+    quat = np.asarray(so3.axag_to_quat(jnp.asarray(axag)))
+    trans = np.concatenate(
+        [rng.normal(0, 0.03, (B, 2)), rng.uniform(0.6, 0.9, (B, 1))], axis=1
+    ).astype(np.float32)
+    R = np.asarray(so3.exp_map(jnp.asarray(axag)))
+    xyz_full = np.einsum("bij,bnj->bni", R, obj_models[cls]) + trans[:, None]
+    batch = (xyz_full.astype(np.float32), quat, trans, cls)
+
+    step_fn = make_train_step_real(model, cfg, obj_models)
+    p0 = jax.device_get(dst.params)
+    state = dst
+    for _ in range(2):
+        state, m = step_fn(state, batch, jax.random.key(4))
+    assert np.isfinite(float(m["total_loss"]))
+    p1 = jax.device_get(state.params)
+    enc_delta = jax.tree.map(
+        lambda x, y: float(np.abs(x - y).max()), p0["encoder"], p1["encoder"]
+    )
+    head_delta = jax.tree.map(
+        lambda x, y: float(np.abs(x - y).max()), p0["rot_head"], p1["rot_head"]
+    )
+    assert max(jax.tree.leaves(enc_delta)) == 0.0  # encoder frozen
+    assert max(jax.tree.leaves(head_delta)) > 0.0  # heads train
