@@ -56,6 +56,14 @@ def get_parser() -> argparse.ArgumentParser:
     train_opts.add_argument("--generate-poses", action="store_true",
                             help="sample poses on device instead of reading "
                                  "the shipped pose tfrecords")
+    train_opts.add_argument("--real-records", nargs="*", default=None,
+                            help="FPS-presampled real-segment tfrecords: "
+                                 "train on real data (the shipped ckpt's "
+                                 "finetune recipe; combine with "
+                                 "--freeze-encoder and --transfer-encoder)")
+    train_opts.add_argument("--transfer-encoder", default=None,
+                            help="checkpoint dir whose encoder initializes "
+                                 "this run (partial restore)")
 
     hyper = p.add_argument_group("hyperparameters")
     hyper.add_argument("--batch-size", type=int, default=128)
@@ -127,6 +135,46 @@ def generate_pose_table(cfg: Config, num: int, seed: int) -> dict[str, np.ndarra
     }
 
 
+def _train_real(args, cfg, model, state, obj_models, log, run_dir, key):
+    """Real-data finetune loop (the shipped checkpoint's recipe)."""
+    from cloudaae_tpu.data.ycb_real import load_fps_records
+    from cloudaae_tpu.parallel.train_step import make_train_step_real
+
+    table = load_fps_records(args.real_records)
+    n = len(table["class_id"])
+    log.log_string(f"{n} real FPS records")
+    step_fn = make_train_step_real(model, cfg, obj_models)
+    rng = np.random.default_rng(cfg.train.seed)
+    b = cfg.train.batch_size
+    ckpt_dir = os.path.join(run_dir, "ckpt")
+    step = int(state.step)
+    for epoch in range(cfg.train.max_epoch):
+        order = rng.permutation(n)[: (n // b) * b]
+        for i in range(n // b):
+            idx = order[i * b : (i + 1) * b]
+            batch = (
+                table["xyz"][idx], table["quaternion"][idx],
+                table["translation"][idx], table["class_id"][idx],
+            )
+            state, m = step_fn(state, batch, key)
+            step += 1
+            if step % cfg.train.log_every == 0:
+                m = jax.device_get(m)
+                log.log_string(
+                    f"[real] epoch {epoch} step {step} "
+                    f"xyz {float(m['xyz_loss']):.6f} "
+                    f"trans {float(m['trans_loss']):.4f} "
+                    f"axag {float(m['axag_loss']):.4f}"
+                )
+            if args.max_steps and step >= args.max_steps:
+                break
+        checkpoint.save(ckpt_dir, state, step)
+        if args.max_steps and step >= args.max_steps:
+            break
+    log.close()
+    return state
+
+
 def main(argv=None):
     args = get_parser().parse_args(argv)
     cfg = config_from_args(args)
@@ -156,8 +204,15 @@ def main(argv=None):
     if args.resume:
         state = checkpoint.restore(args.resume, state)
         log.log_string(f"resumed from {args.resume} at step {int(state.step)}")
+    if args.transfer_encoder:
+        src = checkpoint.restore(args.transfer_encoder, state)
+        state = checkpoint.transfer_encoder(src, state)
+        log.log_string(f"encoder transferred from {args.transfer_encoder}")
     with mesh:
         state = shard_state(mesh, state)
+
+    if args.real_records:
+        return _train_real(args, cfg, model, state, obj_models, log, run_dir, key)
 
     train_step = make_train_step_from_table(model, cfg, obj_models, mesh)
     batcher = PoseBatcher(poses, cfg.train.batch_size, cfg.train.seed)

@@ -89,3 +89,48 @@ def test_linemod_cli_help():
 
     with pytest.raises(SystemExit):
         linemod.main(["--help"])
+
+
+@pytest.mark.skipif(not HAVE_REF, reason="reference data absent")
+def test_train_cli_real_records(tmp_path):
+    """--real-records finetune path: CLI wiring end to end."""
+    import jax
+    import jax.numpy as jnp
+
+    from cloudaae_tpu import so3, train
+    from cloudaae_tpu.data import load_object_models, tfrecord
+    from cloudaae_tpu.data.ycb_real import fps_record_bytes
+
+    obj = load_object_models(
+        os.path.join(REF, "object_model_tfrecord/obj_models.tfrecords")
+    )
+    rng = np.random.default_rng(0)
+    payloads = []
+    for i in range(16):
+        cls = int(rng.integers(0, 21))
+        axag = rng.normal(size=3).astype(np.float32) * 0.8
+        R = np.asarray(so3.exp_map(jnp.asarray(axag)))
+        t = np.array([0.0, 0.0, 0.7], np.float32)
+        xyz = (obj[cls, :1024, :3] @ R.T + t).astype(np.float32)
+        payloads.append(fps_record_bytes({
+            "xyz": xyz, "rgb": np.zeros((1024, 3), np.float32),
+            "translation": t,
+            "quaternion": np.asarray(so3.axag_to_quat(jnp.asarray(axag))),
+            "num_valid_points_in_segment": 1024, "class_id": cls,
+        }))
+    rec_path = str(tmp_path / "real.tfrecords")
+    tfrecord.write_tfrecord(rec_path, payloads)
+
+    state = train.main([
+        "--data-root", REF,
+        "--real-records", rec_path,
+        "--freeze-encoder",
+        "--batch-size", "8",
+        "--num-point", "64",
+        "--hpr-iters", "4",
+        "--max-steps", "2",
+        "--max-epoch", "1",
+        "--log-every", "1",
+        "--log-dir", str(tmp_path / "log"),
+    ])
+    assert int(state.step) == 2
