@@ -172,6 +172,54 @@ def load_fps_records(paths, total_num_point: int = 1024) -> dict:
 # -------------------------------------------------------------- renderer
 
 
+_DENSIFY_CACHE: dict = {}
+
+
+def densify_point_cloud(
+    points: np.ndarray,
+    k: int = 8,
+    samples_per_point: int = 24,
+    seed: int = 0,
+) -> np.ndarray:
+    """Upsample a surface point cloud by local k-NN triangle interpolation.
+
+    The 2048-point object models are far too sparse to z-buffer directly:
+    at YCB camera distances neighboring points are ~9 px apart, so pixels
+    between splats get won by *back-surface* points and the rendered depth
+    becomes an impossible two-sided shell.  Sampling uniform barycentric
+    points on pseudo-triangles (p, n_i, n_j) of each point's k nearest
+    neighbors closes the surface (the pointcloud analogue of
+    ops/mesh_sample.sample_mesh_surface, which needs a real mesh).
+
+    Returns (N * (1 + samples_per_point), 3).
+    """
+    pts = np.asarray(points[:, :3], np.float64)
+    n = len(pts)
+    d2 = ((pts[:, None] - pts[None]) ** 2).sum(-1)
+    nn = np.argsort(d2, axis=1)[:, 1 : k + 1]  # (n, k) neighbor indices
+    rng = np.random.default_rng(seed)
+    base = np.repeat(np.arange(n), samples_per_point)
+    j = rng.integers(0, k, (len(base), 2))
+    p = pts[base]
+    n1 = pts[nn[base, j[:, 0]]]
+    n2 = pts[nn[base, j[:, 1]]]
+    r = rng.random((len(base), 2))
+    s = np.sqrt(r[:, :1])
+    t = r[:, 1:]
+    extra = (1 - s) * p + s * (1 - t) * n1 + s * t * n2
+    return np.vstack([pts, extra]).astype(np.float32)
+
+
+def _densified(obj_models: np.ndarray, cls: int, samples_per_point: int):
+    key = (id(obj_models), cls, samples_per_point)
+    if key not in _DENSIFY_CACHE:
+        _DENSIFY_CACHE[key] = densify_point_cloud(
+            obj_models[cls][:, :3], samples_per_point=samples_per_point,
+            seed=1000 + cls,
+        )
+    return _DENSIFY_CACHE[key]
+
+
 def render_frame(
     obj_models: np.ndarray,
     class_ids: list[int],
@@ -183,6 +231,9 @@ def render_frame(
     num_class: int = 21,
     rng: np.random.Generator | None = None,
     depth_noise: float = 0.0,
+    cull_window: int = 5,
+    cull_margin: float = 0.004,
+    densify: int = 24,
     **intrinsics,
 ) -> RealFrame:
     """Z-buffer render of posed object models into a pcnn-schema frame.
@@ -193,16 +244,34 @@ def render_frame(
     reference's training *images* pipeline never existed — it worked purely
     on clouds).
 
+    Hidden-surface culling: 2048 points splatted sparsely leave pixel gaps
+    through which *back-surface* points win the z-buffer, producing a
+    physically impossible two-sided depth map (a real sensor sees only the
+    front surface; measured bleed-through without culling: ~55% of segment
+    pixels).  A post-pass drops any pixel whose depth exceeds the local
+    minimum depth within a ``cull_window`` neighborhood by more than
+    ``cull_margin`` meters — the discrete analogue of the HPR visibility
+    test the training synthesis uses (ops/hpr.py).
+
     Args:
       obj_models: (num_class, P, >=3) models in object frame.
       class_ids: objects present in the scene.
       rotations: (n_obj, 3, 3); translations: (n_obj, 3).
+      cull_window: hidden-surface culling neighborhood in pixels (0 = off).
+      cull_margin: depth slack in meters before a pixel is culled.
+      densify: extra surface samples per model point (see
+        :func:`densify_point_cloud`; 0 renders the raw sparse points).
     """
     K = {**DEFAULT_INTRINSICS, **intrinsics}
     h, w = FRAME_H, FRAME_W
     all_flat, all_z, all_cls = [], [], []
     for cls, R, t in zip(class_ids, rotations, translations):
-        pts = obj_models[cls][:, :3] @ R.T + t
+        surf = (
+            _densified(obj_models, cls, densify)
+            if densify > 0
+            else obj_models[cls][:, :3]
+        )
+        pts = surf @ R.T + t
         z = pts[:, 2]
         ok = z > 1e-3
         zs = np.where(ok, z, 1.0)
@@ -229,6 +298,14 @@ def render_frame(
         label[flat[order]] = cls_v[order]
     zbuf = zbuf.reshape(h, w)
     label = label.reshape(h, w)
+
+    if cull_window > 0:
+        from scipy.ndimage import minimum_filter
+
+        local_min = minimum_filter(zbuf, size=cull_window, mode="nearest")
+        keep = zbuf <= local_min + cull_margin
+        zbuf = np.where(keep, zbuf, np.inf)
+        label = np.where(keep, label, 0).astype(np.uint8)
 
     depth_m = np.where(np.isfinite(zbuf), zbuf, 0.0)
     if depth_noise > 0.0 and rng is not None:

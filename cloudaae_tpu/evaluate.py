@@ -67,9 +67,24 @@ def backproject(depth_m: jnp.ndarray, fx, fy, cx, cy) -> jnp.ndarray:
 
 
 def compact(points: jnp.ndarray, mask: jnp.ndarray, capacity: int):
-    """Select masked rows into a fixed-capacity buffer (order-preserving)."""
+    """Select masked rows into a fixed-capacity buffer (order-preserving).
+
+    When more than ``capacity`` rows are masked, the selection decimates
+    evenly across the masked set (every count/capacity-th point in index
+    order) instead of truncating — raster-order truncation would keep only
+    the top image rows of a large object segment, a spatially catastrophic
+    bias for pose estimation.
+    """
     n = mask.shape[0]
     iota = jnp.arange(n, dtype=jnp.int32)
+    total = jnp.sum(mask).astype(jnp.int32)
+    # rank of each masked row among masked rows; keep rank r iff
+    # floor(r*capacity/total) advances -> exactly `capacity` evenly-spaced
+    # survivors when total > capacity
+    rank = (jnp.cumsum(mask) - 1).astype(jnp.int32)
+    c = jnp.maximum(total, 1)
+    advances = (rank * capacity) // c > ((rank - 1) * capacity) // c
+    mask = mask & jnp.where(total > capacity, advances, True)
     order = jnp.argsort(jnp.where(mask, iota, iota + n)).astype(jnp.int32)
     take = order[:capacity]
     count = jnp.minimum(jnp.sum(mask), capacity).astype(jnp.int32)
@@ -190,7 +205,9 @@ def make_eval_forward(model, cfg: Config, obj_models: np.ndarray, icp: bool,
         pred_pts = so3.transform_points(model_pts, R_pred, trans_pred)
         add = jnp.mean(jnp.linalg.norm(pred_pts - posed_gt, axis=-1))
         d1, _, _, _ = nn_distance(pred_pts, posed_gt)
-        add_s = jnp.mean(jnp.sqrt(d1))
+        # nn_distance returns squared distances via the -2xy expansion,
+        # which can dip epsilon-negative — clamp before the sqrt
+        add_s = jnp.mean(jnp.sqrt(jnp.maximum(d1, 0.0)))
         diameter = jnp.max(
             jnp.linalg.norm(
                 model_pts[None, :, :] - model_pts[:, None, :], axis=-1

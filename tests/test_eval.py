@@ -179,3 +179,70 @@ def test_batched_eval_matches_per_frame(obj_models):
     # sampling noise, not numerics
     assert abs(a.trans_err - b.trans_err) < 0.02
     assert abs(a.add - b.add) < 0.05
+
+
+def test_render_is_single_sided(obj_models):
+    """The renderer must not leak back-surface points through splat gaps.
+
+    A real depth sensor sees only the front surface; without densification
+    + hidden-surface culling ~55% of segment pixels backproject onto the
+    hidden half of the object (the two-sided-shell bug that made rendered
+    eval fixtures unusable).  Oracle: scipy ConvexHull HPR visibility.
+    """
+    from scipy.spatial import ConvexHull
+
+    rng = np.random.default_rng(11)
+    _, R, t = make_pose(rng)
+    frame = ycb_real.render_frame(obj_models, [5], R[None], t[None])
+    m = (frame.label == 6) & (frame.depth > 0)
+    vs, us = np.nonzero(m)
+    z = frame.depth[vs, us] / frame.factor_depth
+    pts = np.stack(
+        [(us - frame.cx) * z / frame.fx, (vs - frame.cy) * z / frame.fy, z], -1
+    )
+    posed = obj_models[5][:, :3] @ R.T + t
+    norm = np.linalg.norm(posed, axis=1)
+    flip = posed + 2 * (norm.max() * 10**0.8 - norm)[:, None] * posed / norm[:, None]
+    hull = ConvexHull(np.vstack([flip, [[0.0, 0.0, 0.0]]]))
+    vis_idx = np.array([i for i in hull.vertices if i < len(posed)])
+    vis = posed[vis_idx]
+    hid = posed[np.setdiff1d(np.arange(len(posed)), vis_idx)]
+    mind = lambda a, b: np.sqrt(((a[:, None] - b[None]) ** 2).sum(-1)).min(1)
+    bleed = (mind(pts, hid) + 2e-3 < mind(pts, vis)).mean()
+    assert bleed < 0.10, f"back-surface bleed-through {bleed:.2%}"
+
+
+def test_compact_decimates_evenly():
+    """compact() must decimate (not truncate) segments over capacity.
+
+    Raster-order truncation would keep only the top image rows of a large
+    segment; even decimation keeps spatial coverage.
+    """
+    from cloudaae_tpu.evaluate import compact
+
+    n, capacity = 20000, 4096
+    rng = np.random.default_rng(0)
+    mask = np.zeros(n, bool)
+    mask[rng.choice(n, 10000, replace=False)] = True
+    points = np.arange(n, dtype=np.float32)[:, None] * np.ones(3, np.float32)
+    out, out_mask, count = jax.jit(
+        lambda p, m: compact(p, m, capacity)
+    )(jnp.asarray(points), jnp.asarray(mask))
+    out, out_mask, count = map(np.asarray, (out, out_mask, count))
+    assert count == capacity
+    kept = out[out_mask][:, 0]
+    # selected rows are masked rows spread over the whole index range
+    assert np.all(mask[kept.astype(int)])
+    assert kept.min() < n * 0.01 and kept.max() > n * 0.98
+    gaps = np.diff(np.sort(kept))
+    assert gaps.max() < 4 * (10000 / capacity) * 2  # no large spatial holes
+
+    # under capacity: order-preserving identity on the masked set
+    small_mask = np.zeros(n, bool)
+    small_mask[::10] = True  # 2000 < capacity
+    out, out_mask, count = jax.jit(
+        lambda p, m: compact(p, m, capacity)
+    )(jnp.asarray(points), jnp.asarray(small_mask))
+    assert int(count) == 2000
+    kept = np.asarray(out)[np.asarray(out_mask)][:, 0].astype(int)
+    np.testing.assert_array_equal(kept, np.nonzero(small_mask)[0])
