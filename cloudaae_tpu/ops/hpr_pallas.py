@@ -43,8 +43,7 @@ def _ascent_kernel(
     f2 = f_t_ref[0, 2:3, :]
     f_c = f_c_ref[0, 0]      # (CHUNK, 3)
 
-    def body(_, state):
-        d, best = state
+    def margin_of(d):
         d0 = d[:, 0:1]
         d1 = d[:, 1:2]
         d2 = d[:, 2:3]
@@ -56,7 +55,11 @@ def _ascent_kernel(
         # without building or applying an exclusion mask.
         m = jnp.max(supp, axis=1, keepdims=True)     # (CHUNK, 1)
         own = jnp.sum(d * f_c, axis=1, keepdims=True)
-        margin = own - m
+        return supp, m, own - m
+
+    def body(_, state):
+        d, best = state
+        supp, m, margin = margin_of(d)
         best = jnp.maximum(best, margin)
         # f[q*] via max-mask reduction (ties averaged — same subgradient set)
         oh = (supp == m).astype(jnp.float32)
@@ -72,8 +75,12 @@ def _ascent_kernel(
         return d_new / norm, best
 
     best0 = jnp.full((chunk, 1), -jnp.inf, jnp.float32)
-    _, best = lax.fori_loop(0, iters, body, (d_ref[0, 0], best0))
-    best_ref[0, 0] = best
+    # the direction produced by the last ascent step is only ever *scored*,
+    # never stepped again: run iters-1 full iterations, then one margin-only
+    # evaluation — skipping the dead argmax-reduction/step/renormalize work
+    d, best = lax.fori_loop(0, iters - 1, body, (d_ref[0, 0], best0))
+    _, _, margin = margin_of(d)
+    best_ref[0, 0] = jnp.maximum(best, margin)
 
 
 @functools.partial(jax.jit, static_argnames=("iters", "chunk", "interpret"))
