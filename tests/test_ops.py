@@ -69,6 +69,56 @@ def test_chamfer_gradient_matches_finite_difference(rng):
             assert abs(num - float(garr[probe])) < 1e-2
 
 
+def test_nn_distance_arbitrary_point_counts(rng):
+    # non-multiple-of-chunk N and M exercise the pad-and-mask path
+    for n, m in [(100, 37), (300, 129), (7, 1000)]:
+        x = rng.normal(size=(2, n, 3)).astype(np.float32)
+        y = rng.normal(size=(2, m, 3)).astype(np.float32)
+        d1, i1, d2, i2 = ops.nn_distance(jnp.asarray(x), jnp.asarray(y))
+        assert d1.shape == (2, n) and d2.shape == (2, m)
+        for b in range(2):
+            bd1, bi1, bd2, bi2 = brute_nn(x[b], y[b])
+            assert np.allclose(np.asarray(d1[b]), bd1, atol=1e-4)
+            assert np.array_equal(np.asarray(i1[b]), bi1)
+            assert np.allclose(np.asarray(d2[b]), bd2, atol=1e-4)
+            assert np.array_equal(np.asarray(i2[b]), bi2)
+
+
+def test_chamfer_pallas_kernel_parity(rng):
+    # the fused TPU kernel (interpret mode on CPU) vs the brute-force oracle,
+    # including masked pad columns (m_actual < padded M)
+    from cloudaae_tpu.ops.chamfer_pallas import nn_min_argmin_pallas
+
+    n, m, m_pad = 256, 200, 256
+    x = rng.normal(size=(2, n, 3)).astype(np.float32)
+    y = rng.normal(size=(2, m, 3)).astype(np.float32)
+    y_pad = np.zeros((2, m_pad, 3), np.float32)
+    y_pad[:, :m] = y
+    dist, idx, nn = nn_min_argmin_pallas(
+        jnp.asarray(x), jnp.asarray(y_pad), m_actual=m, interpret=True
+    )
+    for b in range(2):
+        bd1, bi1, _, _ = brute_nn(x[b], y[b])
+        assert np.allclose(np.asarray(dist[b]), bd1, atol=1e-4)
+        assert np.array_equal(np.asarray(idx[b]), bi1)
+        assert np.allclose(np.asarray(nn[b]), y[b][bi1], atol=1e-6)
+
+
+def test_chamfer_scatter_pallas_kernel_parity(rng):
+    from cloudaae_tpu.ops.chamfer_pallas import scatter_add_rows_pallas
+
+    k, n_rows = 300, 200  # non-multiples exercise row padding
+    idx = rng.integers(0, n_rows, size=(2, k)).astype(np.int32)
+    upd = rng.normal(size=(2, k, 3)).astype(np.float32)
+    out = scatter_add_rows_pallas(
+        jnp.asarray(idx), jnp.asarray(upd), n_rows, interpret=True
+    )
+    for b in range(2):
+        ref = np.zeros((n_rows, 3), np.float32)
+        np.add.at(ref, idx[b], upd[b])
+        assert np.allclose(np.asarray(out[b]), ref, atol=1e-5)
+
+
 def test_chamfer_zero_for_identical_clouds(rng):
     x = rng.normal(size=(2, 64, 3)).astype(np.float32)
     loss, per = ops.chamfer_loss(jnp.asarray(x), jnp.asarray(x))
