@@ -75,6 +75,23 @@ class _SplitEdgeKernel(nn.Module):
         return a, v
 
 
+def _gather_neighbors_matmul(v: jnp.ndarray, nn_idx: jnp.ndarray) -> jnp.ndarray:
+    """Neighbor gather as a one-hot matmul: (..., N, F), (..., N, k) -> (..., N, k, F).
+
+    On TPU a (B*N*k)-row gather and — far worse — its backward scatter-add
+    dominate the edge-conv blocks (measured 8.7 + 18.9 ms of a 90 ms step).
+    ``one_hot(idx) @ v`` computes the identical selection on the MXU
+    (products are v*1 or v*0 — exact in any dtype), and its VJP is another
+    matmul ``one_hot^T @ g`` instead of a scatter.  Replaces the data
+    movement of the reference's flat ``tf.gather`` edge features
+    (utils/tf_util.py:658-662) with MXU work.
+    """
+    *batch, n, k = nn_idx.shape
+    oh = jax.nn.one_hot(nn_idx.reshape(*batch, n * k), n, dtype=v.dtype)
+    v_nbr = jnp.matmul(oh, v)
+    return v_nbr.reshape(*batch, n, k, v.shape[-1])
+
+
 class _EdgeConv(nn.Module):
     """Split edge kernel + EMA-BN; parameter paths conv/dense/*, conv/bn/*."""
 
@@ -85,9 +102,13 @@ class _EdgeConv(nn.Module):
     def __call__(self, x, nn_idx, train: bool, momentum):
         a, v = _SplitEdgeKernel(self.features, self.dtype, name="dense")(x)
         *batch, n, k = nn_idx.shape
-        v_nbr = gather_rows(v, nn_idx.reshape(*batch, n * k)).reshape(
-            *batch, n, k, self.features
-        )
+        if jax.default_backend() == "cpu":
+            # row-slice gathers are fine on CPU; the one-hot matmul wins on TPU
+            v_nbr = gather_rows(v, nn_idx.reshape(*batch, n * k)).reshape(
+                *batch, n, k, self.features
+            )
+        else:
+            v_nbr = _gather_neighbors_matmul(v, nn_idx)
         pre = a[..., :, None, :] + v_nbr - v[..., :, None, :]
         pre = EmaBatchNorm(name="bn")(
             pre.astype(jnp.float32), train=train, momentum=momentum

@@ -177,3 +177,21 @@ def test_split_edge_conv_matches_naive_formulation(inputs):
     v_nbr = np.stack([v[b][idx[b].reshape(-1)].reshape(N, k, -1) for b in range(B)])
     split = a[:, :, None, :] + v_nbr - v[:, :, None, :]
     assert np.max(np.abs(naive - split)) < 1e-5
+
+
+def test_one_hot_matmul_gather_matches_row_gather():
+    """The TPU edge-conv neighbor path (one-hot matmul on the MXU) must be an
+    exact selection — identical values to the row gather, any dtype."""
+    import numpy as np
+
+    from cloudaae_tpu.models.dgcnn import _gather_neighbors_matmul
+    from cloudaae_tpu.ops.knn import gather_rows
+
+    rng = np.random.default_rng(3)
+    for dtype in (jnp.float32, jnp.bfloat16):
+        v = jnp.asarray(rng.normal(size=(2, 64, 16)).astype(np.float32)).astype(dtype)
+        idx = jnp.asarray(rng.integers(0, 64, size=(2, 64, 5)).astype(np.int32))
+        got = _gather_neighbors_matmul(v, idx)
+        want = gather_rows(v, idx.reshape(2, 64 * 5)).reshape(2, 64, 5, 16)
+        assert got.dtype == want.dtype
+        assert bool(jnp.all(got == want)), dtype
