@@ -132,12 +132,16 @@ class EdgeConvBlock(nn.Module):
     k: int
     aggregation: str = "mean"
     dtype: jnp.dtype | None = None
+    knn_approx_recall: float | None = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool, momentum) -> jnp.ndarray:
         # kNN geometry in f32 regardless of compute dtype: neighbor identity
         # flips under bf16 rounding of mm-scale coordinates
-        idx = knn_indices(pairwise_sq_dist(x.astype(jnp.float32)), self.k)
+        idx = knn_indices(
+            pairwise_sq_dist(x.astype(jnp.float32)), self.k,
+            approx_recall=self.knn_approx_recall,
+        )
         ef = _EdgeConv(self.features, self.dtype, name="conv")(
             x, idx, train, momentum
         )
@@ -158,6 +162,7 @@ class DGCNNEncoder(nn.Module):
         for i, f in enumerate(self.cfg.edge_conv_channels):
             x = EdgeConvBlock(
                 f, self.cfg.k_neighbor, self.cfg.aggregation, dtype=dtype,
+                knn_approx_recall=self.cfg.knn_approx_recall,
                 name=f"dgcnn{i+1}",
             )(x, train, momentum)
             feats.append(x)

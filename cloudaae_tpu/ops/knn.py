@@ -34,7 +34,11 @@ def pairwise_sq_dist(points: jnp.ndarray, coord_dims: int = 3) -> jnp.ndarray:
     return sq - 2.0 * inner + jnp.swapaxes(sq, -1, -2)
 
 
-def knn_indices(sq_dist: jnp.ndarray, k: int) -> jnp.ndarray:
+def knn_indices(
+    sq_dist: jnp.ndarray,
+    k: int,
+    approx_recall: float | None = None,
+) -> jnp.ndarray:
     """Indices of the k nearest neighbors from a pairwise distance matrix.
 
     Mirrors ``tf_util.knn`` (utils/tf_util.py:621-632): top-k of the negated
@@ -42,10 +46,17 @@ def knn_indices(sq_dist: jnp.ndarray, k: int) -> jnp.ndarray:
 
     Args:
       sq_dist: (..., N, N).
+      approx_recall: if set, use ``lax.approx_max_k`` (TPU PartialReduce) at
+        this recall target instead of the exact full sort — a quality/speed
+        knob (config.ModelConfig.knn_approx_recall); neighbor sets may then
+        differ in ~(1-recall) of entries.
     Returns:
       (..., N, k) int32.
     """
-    _, idx = lax.top_k(-sq_dist, k)
+    if approx_recall is not None:
+        _, idx = lax.approx_max_k(-sq_dist, k, recall_target=approx_recall)
+    else:
+        _, idx = lax.top_k(-sq_dist, k)
     return idx.astype(jnp.int32)
 
 

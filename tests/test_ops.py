@@ -292,3 +292,19 @@ def test_sample_mesh_surface_uniformity(rng):
     assert 0.3 < frac < 0.8  # loose: x>1 covers part of the big triangle
     # barycentric validity: all points inside the union's bounding box
     assert pts[:, 0].min() >= -1e-6 and pts[:, 0].max() <= 3 + 1e-6
+
+
+def test_knn_approx_recall(rng):
+    """approx_max_k kNN must hit >= its recall target vs exact top-k."""
+    from cloudaae_tpu.ops.knn import knn_indices, pairwise_sq_dist
+
+    x = jnp.asarray(rng.normal(size=(4, 256, 3)).astype(np.float32))
+    d = pairwise_sq_dist(x)
+    exact = np.asarray(knn_indices(d, 10))
+    approx = np.asarray(knn_indices(d, 10, approx_recall=0.95))
+    assert approx.shape == exact.shape
+    recall = np.mean([
+        len(set(exact[b, i]) & set(approx[b, i])) / 10.0
+        for b in range(4) for i in range(256)
+    ])
+    assert recall >= 0.95, recall
