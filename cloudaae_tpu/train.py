@@ -22,6 +22,7 @@ import jax
 import numpy as np
 
 from cloudaae_tpu import checkpoint, metrics
+from cloudaae_tpu import config as config_mod
 from cloudaae_tpu.config import Config
 from cloudaae_tpu.data import PoseBatcher, load_object_models, load_pose_records
 from cloudaae_tpu.models import make_model
@@ -67,7 +68,8 @@ def get_parser() -> argparse.ArgumentParser:
 
     hyper = p.add_argument_group("hyperparameters")
     hyper.add_argument("--batch-size", type=int, default=128)
-    hyper.add_argument("--compute-dtype", default="float32",
+    hyper.add_argument("--compute-dtype",
+                       default=config_mod.ModelConfig.compute_dtype,
                        choices=["float32", "bfloat16"])
     hyper.add_argument("--learning-rate", type=float, default=8e-4)
     hyper.add_argument("--hpr-iters", type=int, default=8)
