@@ -181,6 +181,15 @@ class LossConfig:
     chamfer_weight: float = 1000.0
     trans_weight: float = 10.0
     rot_weight: float = 1.0
+    # Symmetry-aware rotation loss (cloudaae_tpu/symmetry.py): when True the
+    # rotation term is the min-over-symmetry-group geodesic, with each
+    # class's rotational symmetry group auto-detected from its point model
+    # (self-Chamfer under candidate rotations about the PCA axes).  The
+    # plain geodesic is still logged as `axag_loss` for reference parity.
+    rot_sym: bool = False
+    sym_max: int = 16          # group table size (identity-padded)
+    sym_angles: int = 16       # per-axis candidate angular resolution
+    sym_tol: float = 1.6       # p99 self-Chamfer bound, sampling-spacing units
 
 
 @dataclasses.dataclass(frozen=True)
@@ -219,6 +228,7 @@ class EvalConfig:
     min_points_after_filter: int = 100         # :318
     outlier_nb_points: int = 100               # :279
     outlier_radius: float = 0.02               # :279
+    outlier_min_inliers: int = 512             # keep-all fallback (:256-257)
     min_valid_points: int = 256                # = num_point (:372)
     icp: bool = False
     icp_iterations: int = 10                   # :616

@@ -126,11 +126,14 @@ def eval_preprocess(
 
     seg, seg_mask, seg_count = compact(xyz, m2, SEG_CAPACITY)
 
-    # radius outlier removal (:250-258) with the keep-all fallback (<512)
+    # radius outlier removal (:250-258) with the keep-all fallback when
+    # fewer than outlier_min_inliers survive (:256-257)
     inlier = radius_outlier_mask(
         seg, cfg.outlier_nb_points, cfg.outlier_radius, mask=seg_mask
     )
-    inlier = jnp.where(jnp.sum(inlier) < 512, seg_mask, inlier)
+    inlier = jnp.where(
+        jnp.sum(inlier) < cfg.outlier_min_inliers, seg_mask, inlier
+    )
     num_inlier = jnp.sum(inlier)
 
     k1, k2 = jax.random.split(key)
@@ -149,9 +152,16 @@ def eval_preprocess(
 
 
 def make_eval_forward(model, cfg: Config, obj_models: np.ndarray, icp: bool,
-                      jit: bool = True):
-    """Per-sample eval: segment -> pose + losses + ADD/ADD-S."""
+                      jit: bool = True, sym_rots: np.ndarray | None = None):
+    """Per-sample eval: segment -> pose + losses + ADD/ADD-S.
+
+    ``sym_rots``: optional (C, S, 3, 3) per-class symmetry table
+    (cloudaae_tpu/symmetry.py); when given, ``axag_sym_err`` is the
+    min-over-group geodesic (the meaningful rotation metric for symmetric
+    classes), else it equals the plain ``axag_err``.
+    """
     obj_models_np = np.asarray(obj_models[..., :3], np.float32)
+    sym_rots_np = None if sym_rots is None else np.asarray(sym_rots, np.float32)
 
     def fwd(variables, segment, seg_full, seg_full_mask, cls, quat, trans_gt, key):
         # segment: (N, 3) FPS-sampled inlier points (graph input, :423-434)
@@ -201,6 +211,15 @@ def make_eval_forward(model, cfg: Config, obj_models: np.ndarray, icp: bool,
             trans_err = jnp.linalg.norm(trans_pred - trans_gt)
             axag_err = so3.geodesic_angle(R_pred, R_gt)
 
+        if sym_rots_np is not None:
+            syms = jnp.asarray(sym_rots_np)[cls]  # (S, 3, 3)
+            R_equiv = jnp.einsum(
+                "ij,sjk->sik", R_gt, syms, precision="highest"
+            )
+            axag_sym_err = jnp.min(so3.geodesic_angle(R_pred[None], R_equiv))
+        else:
+            axag_sym_err = axag_err
+
         # ADD / ADD-S on the full model cloud
         pred_pts = so3.transform_points(model_pts, R_pred, trans_pred)
         add = jnp.mean(jnp.linalg.norm(pred_pts - posed_gt, axis=-1))
@@ -216,6 +235,7 @@ def make_eval_forward(model, cfg: Config, obj_models: np.ndarray, icp: bool,
         return {
             "trans_err": trans_err,
             "axag_err": axag_err,
+            "axag_sym_err": axag_sym_err,
             "xyz_loss": xyz_loss,
             "add": add,
             "add_s": add_s,
@@ -238,6 +258,8 @@ class EvalResult:
     add_s_2cm: float
     add_01d: float
     add_s_01d: float
+    # min-over-symmetry-group geodesic (== axag_err when no table given)
+    axag_sym_err: float = float("nan")
 
 
 def evaluate_frames(
@@ -249,13 +271,15 @@ def evaluate_frames(
     obj_models: np.ndarray,
     icp: bool = False,
     verbose: bool = True,
+    sym_rots: np.ndarray | None = None,
 ) -> EvalResult:
     """Run the full eval over an iterable of RealFrame for one class."""
     variables = {"params": state.params, "batch_stats": state.batch_stats}
-    fwd = make_eval_forward(model, cfg, obj_models, icp)
+    fwd = make_eval_forward(model, cfg, obj_models, icp, sym_rots=sym_rots)
     key = jax.random.key(0)
     acc: dict[str, list] = {k: [] for k in
-                            ("trans_err", "axag_err", "add", "add_s", "diam")}
+                            ("trans_err", "axag_err", "axag_sym_err",
+                             "add", "add_s", "diam")}
     n_skipped = 0
     for frame in frames:
         if not frame.class_one_hot[target_cls]:
@@ -289,6 +313,7 @@ def evaluate_frames(
         out = jax.device_get(out)
         acc["trans_err"].append(float(out["trans_err"]))
         acc["axag_err"].append(float(out["axag_err"]))
+        acc["axag_sym_err"].append(float(out["axag_sym_err"]))
         acc["add"].append(float(out["add"]))
         acc["add_s"].append(float(out["add_s"]))
         acc["diam"].append(float(out["diameter"]))
@@ -299,6 +324,11 @@ def evaluate_frames(
                 f"ADD {out['add']:.6f} ADD-S {out['add_s']:.6f}",
                 flush=True,
             )
+    return _result_from_acc(acc)
+
+
+def _result_from_acc(acc: dict) -> EvalResult:
+    """Aggregate per-frame accumulators into an EvalResult."""
     n = len(acc["trans_err"])
     if n == 0:
         return EvalResult(0, float("nan"), float("nan"), float("nan"),
@@ -317,6 +347,7 @@ def evaluate_frames(
         add_s_2cm=float(np.mean(add_s < thr)),
         add_01d=float(np.mean(add < 0.1 * diam)),
         add_s_01d=float(np.mean(add_s < 0.1 * diam)),
+        axag_sym_err=float(np.mean(acc["axag_sym_err"])),
     )
 
 
@@ -329,6 +360,7 @@ def evaluate_frames_batched(
     obj_models: np.ndarray,
     icp: bool = False,
     chunk: int = 16,
+    sym_rots: np.ndarray | None = None,
 ) -> EvalResult:
     """Batched evaluation: frames are stacked and processed in vmapped
     chunks — one device program per chunk instead of two dispatches per
@@ -338,14 +370,17 @@ def evaluate_frames_batched(
     segment fails the validity gates are dropped from the averages exactly
     as the reference's dataset filters drop them
     (evaluate_cloudAAE_ycbv.py:318-322).
-    """
-    variables = {"params": state.params, "batch_stats": state.batch_stats}
-    fwd_raw = make_eval_forward(model, cfg, obj_models, icp, jit=False)
 
-    frames = [f for f in frames if f.class_one_hot[target_cls]]
-    if not frames:
-        return EvalResult(0, float("nan"), float("nan"), float("nan"),
-                          float("nan"), 0.0, 0.0, 0.0, 0.0)
+    ``frames`` may be any iterable (a generator streams frame decode
+    against device compute); only one chunk is materialized at a time.
+    """
+    import itertools
+
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    fwd_raw = make_eval_forward(model, cfg, obj_models, icp, jit=False,
+                                sym_rots=sym_rots)
+
+    frame_iter = (f for f in frames if f.class_one_hot[target_cls])
 
     pre_batch = jax.jit(
         jax.vmap(
@@ -366,10 +401,13 @@ def evaluate_frames_batched(
     )
 
     acc: dict[str, list] = {k: [] for k in
-                            ("trans_err", "axag_err", "add", "add_s", "diam")}
+                            ("trans_err", "axag_err", "axag_sym_err",
+                             "add", "add_s", "diam")}
     key = jax.random.key(0)
-    for c0 in range(0, len(frames), chunk):
-        fs = frames[c0 : c0 + chunk]
+    while True:
+        fs = list(itertools.islice(frame_iter, chunk))
+        if not fs:
+            break
         depth = jnp.asarray(np.stack([f.depth for f in fs]))
         label = jnp.asarray(np.stack([f.label for f in fs]))
         intr = jnp.asarray(
@@ -396,29 +434,12 @@ def evaluate_frames_batched(
                 continue
             acc["trans_err"].append(float(host["trans_err"][i]))
             acc["axag_err"].append(float(host["axag_err"][i]))
+            acc["axag_sym_err"].append(float(host["axag_sym_err"][i]))
             acc["add"].append(float(host["add"][i]))
             acc["add_s"].append(float(host["add_s"][i]))
             acc["diam"].append(float(host["diameter"][i]))
 
-    n = len(acc["trans_err"])
-    if n == 0:
-        return EvalResult(0, float("nan"), float("nan"), float("nan"),
-                          float("nan"), 0.0, 0.0, 0.0, 0.0)
-    add = np.asarray(acc["add"])
-    add_s = np.asarray(acc["add_s"])
-    diam = np.asarray(acc["diam"])
-    thr = 0.02
-    return EvalResult(
-        frames=n,
-        trans_err=float(np.mean(acc["trans_err"])),
-        axag_err=float(np.mean(acc["axag_err"])),
-        add=float(np.mean(add)),
-        add_s=float(np.mean(add_s)),
-        add_2cm=float(np.mean(add < thr)),
-        add_s_2cm=float(np.mean(add_s < thr)),
-        add_01d=float(np.mean(add < 0.1 * diam)),
-        add_s_01d=float(np.mean(add_s < 0.1 * diam)),
-    )
+    return _result_from_acc(acc)
 
 
 def get_parser() -> argparse.ArgumentParser:
@@ -438,6 +459,12 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--synthetic", type=int, default=0,
                    help="evaluate on N rendered synthetic frames instead "
                         "of real tfrecords")
+    p.add_argument("--per-frame", action="store_true",
+                   help="one device dispatch per frame with the reference's "
+                        "per-frame loss prints (evaluate_cloudAAE_ycbv.py:"
+                        "562-568) instead of the batched default")
+    p.add_argument("--chunk", type=int, default=16,
+                   help="frames per device program in the batched path")
     return p
 
 
@@ -487,9 +514,16 @@ def main(argv=None):
 
         frames = frame_iter()
 
-    result = evaluate_frames(
-        frames, args.target_cls, state, model, cfg, obj_models, icp=args.icp
-    )
+    if args.per_frame:
+        result = evaluate_frames(
+            frames, args.target_cls, state, model, cfg, obj_models,
+            icp=args.icp,
+        )
+    else:
+        result = evaluate_frames_batched(
+            frames, args.target_cls, state, model, cfg, obj_models,
+            icp=args.icp, chunk=args.chunk,
+        )
     print(
         f"frames {result.frames} trans_loss {result.trans_err:.6f} "
         f"axag_loss {result.axag_err:.6f}"

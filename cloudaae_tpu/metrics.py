@@ -4,7 +4,10 @@ Capability parity with the reference's observability (SURVEY.md §5.5):
 scalar summaries per loss, per-class averages on a cadence, ``log_train.txt``
 stream, and the self-archival habit (config + code snapshot into the run
 dir, train_cloudAAE_ycbv.py:151-163).  Output is CSV + stdout instead of
-TF summaries; ``jax.profiler`` traces replace wall-clock-only timing.
+TF summaries.  Profiling: ``train.py --profile`` captures a ``jax.profiler``
+trace of a few steady-state steps into ``<run_dir>/profile/`` (replacing
+the reference's wall-clock-only timing, SURVEY.md §5.1); see
+:class:`StepProfiler`.
 """
 
 from __future__ import annotations
@@ -137,6 +140,42 @@ class MetricLogger:
             self._csv.close()
         if self._tb is not None:
             self._tb.close()
+
+
+class StepProfiler:
+    """``jax.profiler`` trace of a window of steady-state train steps.
+
+    Captures steps [start, start + num_steps) into ``<run_dir>/profile/``
+    (viewable with TensorBoard / xprof / Perfetto).  ``start`` defaults past
+    compilation and warmup so the trace shows the steady-state step.  Call
+    :meth:`at_step` once per loop iteration and :meth:`stop` on exit (stop
+    is idempotent; a trace left open because the loop ended early is closed
+    cleanly).
+    """
+
+    def __init__(self, run_dir: str, start: int = 10, num_steps: int = 5):
+        self.trace_dir = os.path.join(run_dir, "profile")
+        self.start = start
+        self.stop_at = start + num_steps
+        self._active = False
+        self._done = False
+
+    def at_step(self, step: int) -> None:
+        import jax
+
+        if not self._done and not self._active and step >= self.start:
+            jax.profiler.start_trace(self.trace_dir)
+            self._active = True
+        elif self._active and step >= self.stop_at:
+            self.stop()
+
+    def stop(self) -> None:
+        import jax
+
+        if self._active:
+            jax.profiler.stop_trace()
+            self._active = False
+            self._done = True
 
 
 def add_metrics(pred_points: np.ndarray, gt_points: np.ndarray):

@@ -94,8 +94,14 @@ def _forward_and_losses(
     train: bool,
     momentum,
     mutable: bool,
+    sym_rots: np.ndarray | None = None,
 ):
-    """Shared synthesis + forward + loss computation."""
+    """Shared synthesis + forward + loss computation.
+
+    ``sym_rots``: optional (C, S, 3, 3) per-class symmetry-rotation table
+    (cloudaae_tpu/symmetry.py); when given, the rotation *loss* term is the
+    min-over-group geodesic while the plain geodesic stays in the metrics.
+    """
     translation, axisangle, class_id = batch
 
     synth = synthesize_batch(
@@ -146,11 +152,19 @@ def _forward_and_losses(
     xyz_loss, xyz_per = chamfer_loss(recon, target)
     trans_loss, trans_per = so3.translation_error(trans_pred, translation)
     axag_loss, axag_per = so3.rotation_error(rot_pred, axisangle)
+    if sym_rots is not None:
+        from cloudaae_tpu import symmetry
+
+        rot_loss, _ = symmetry.rotation_error_sym(
+            rot_pred, axisangle, jnp.asarray(sym_rots)[class_id]
+        )
+    else:
+        rot_loss = axag_loss
 
     total = (
         cfg.loss.chamfer_weight * xyz_loss
         + cfg.loss.trans_weight * trans_loss
-        + cfg.loss.rot_weight * axag_loss
+        + cfg.loss.rot_weight * rot_loss
     )
 
     # per-class accumulators on device (reference keeps host lists,
@@ -169,7 +183,24 @@ def _forward_and_losses(
         "num_vis_in_mean": jnp.mean(synth["num_vis_in"].astype(jnp.float32)),
         "num_vis_org_mean": jnp.mean(synth["num_vis_org"].astype(jnp.float32)),
     }
+    if sym_rots is not None:
+        metrics["axag_sym_loss"] = rot_loss
     return total, new_stats, metrics, (recon, rot_pred, trans_pred)
+
+
+def _maybe_symmetry_table(cfg: Config, obj_models: np.ndarray):
+    """Per-class symmetry tables as a host-numpy closure constant, or None."""
+    if not cfg.loss.rot_sym:
+        return None
+    from cloudaae_tpu import symmetry
+
+    table = symmetry.build_symmetry_table(
+        obj_models,
+        max_syms=cfg.loss.sym_max,
+        num_angles=cfg.loss.sym_angles,
+        tol=cfg.loss.sym_tol,
+    )
+    return np.asarray(table, np.float32)
 
 
 def _build_step_fn(model: CloudAAE, cfg: Config, obj_models: jnp.ndarray):
@@ -180,6 +211,7 @@ def _build_step_fn(model: CloudAAE, cfg: Config, obj_models: jnp.ndarray):
     # the device->host path is pathologically slow on tunneled backends
     # (a single 0.5 MB read measured at ~290 s on axon).
     obj_models = np.asarray(obj_models[..., :3], np.float32)
+    sym_rots = _maybe_symmetry_table(cfg, obj_models)
 
     def step_fn(state: TrainState, batch, key: jax.Array):
         momentum = bn_decay_at(
@@ -193,6 +225,7 @@ def _build_step_fn(model: CloudAAE, cfg: Config, obj_models: jnp.ndarray):
             total, new_stats, metrics, _ = _forward_and_losses(
                 model, cfg, params, state.batch_stats, obj_models,
                 batch, step_key, train=True, momentum=momentum, mutable=True,
+                sym_rots=sym_rots,
             )
             return total, (new_stats, metrics)
 
@@ -354,11 +387,13 @@ def make_train_step_real(model: CloudAAE, cfg: Config, obj_models: jnp.ndarray):
 def make_eval_step(model: CloudAAE, cfg: Config, obj_models: jnp.ndarray):
     """Synthetic-data eval step: losses + predictions, no state mutation."""
     obj_models = np.asarray(obj_models[..., :3], np.float32)
+    sym_rots = _maybe_symmetry_table(cfg, obj_models)
 
     def step_fn(state: TrainState, batch, key: jax.Array):
         _, _, metrics, preds = _forward_and_losses(
             model, cfg, state.params, state.batch_stats, obj_models,
             batch, key, train=False, momentum=0.9, mutable=False,
+            sym_rots=sym_rots,
         )
         return metrics, preds
 

@@ -43,6 +43,16 @@ def get_parser() -> argparse.ArgumentParser:
     general.add_argument("--data-root", default="/root/reference",
                          help="directory holding ycb_video_data_tfRecords/ "
                               "and object_model_tfrecord/")
+    general.add_argument("--dataset", choices=["ycbv", "linemod"],
+                         default="ycbv",
+                         help="selects the synthesis frustum/camera model "
+                              "(utils/generate_occluder.py:40-51 dataset "
+                              "branches) and the class count (21 vs 13)")
+    general.add_argument("--object-models", default=None,
+                         help="object-model tfrecord path (overrides the "
+                              "YCB default under --data-root; required for "
+                              "the LINEMOD flow, whose models are not "
+                              "shipped with the reference)")
     general.add_argument("--classes", type=int, nargs="*", default=None,
                          help="subset of class ids to train on")
 
@@ -57,6 +67,11 @@ def get_parser() -> argparse.ArgumentParser:
     train_opts.add_argument("--generate-poses", action="store_true",
                             help="sample poses on device instead of reading "
                                  "the shipped pose tfrecords")
+    train_opts.add_argument("--sym-loss", action="store_true",
+                            help="symmetry-aware rotation loss: min-over-"
+                                 "group geodesic with per-class symmetry "
+                                 "groups auto-detected from the object "
+                                 "models (cloudaae_tpu/symmetry.py)")
     train_opts.add_argument("--real-records", nargs="*", default=None,
                             help="FPS-presampled real-segment tfrecords: "
                                  "train on real data (the shipped ckpt's "
@@ -76,11 +91,20 @@ def get_parser() -> argparse.ArgumentParser:
     hyper.add_argument("--dp", type=int, default=-1)
     hyper.add_argument("--tp", type=int, default=1)
     hyper.add_argument("--log-every", type=int, default=100)
+    p.add_argument("--profile", action="store_true",
+                   help="capture a jax.profiler trace of steps 10-15 "
+                        "(after warmup) into <run_dir>/profile/")
     return p
 
 
 def config_from_args(args) -> Config:
+    from cloudaae_tpu.config import LINEMOD_NUM_CLASS
+
     cfg = Config()
+    num_class = (
+        LINEMOD_NUM_CLASS if args.dataset == "linemod"
+        else cfg.model.num_class
+    )
     cfg = dataclasses.replace(
         cfg,
         log_dir=args.log_dir,
@@ -89,11 +113,13 @@ def config_from_args(args) -> Config:
             num_input_points=args.num_point,
             num_target_points=args.num_point * 4,
             hpr_iters=args.hpr_iters,
+            dataset=args.dataset,
         ),
         model=dataclasses.replace(
             cfg.model, num_point=args.num_point, name=args.model,
-            compute_dtype=args.compute_dtype,
+            compute_dtype=args.compute_dtype, num_class=num_class,
         ),
+        loss=dataclasses.replace(cfg.loss, rot_sym=args.sym_loss),
         train=dataclasses.replace(
             cfg.train,
             batch_size=args.batch_size,
@@ -110,7 +136,7 @@ def config_from_args(args) -> Config:
             train_syn_dir=os.path.join(
                 args.data_root, "ycb_video_data_tfRecords/train_syn"
             ),
-            object_model_path=os.path.join(
+            object_model_path=args.object_models or os.path.join(
                 args.data_root, "object_model_tfrecord/obj_models.tfrecords"
             ),
             generate_poses=args.generate_poses,
@@ -179,6 +205,14 @@ def _train_real(args, cfg, model, state, obj_models, log, run_dir, key):
 
 def main(argv=None):
     args = get_parser().parse_args(argv)
+    if (args.dataset == "linemod" and not args.generate_poses
+            and not args.real_records):
+        raise SystemExit(
+            "LINEMOD has no shipped synthetic pose records: train with "
+            "--generate-poses (on-device frustum pose sampling with the "
+            "LINEMOD camera) or finetune on converted records via "
+            "--real-records"
+        )
     cfg = config_from_args(args)
 
     run_dir = metrics.make_run_dir(cfg)
@@ -223,6 +257,8 @@ def main(argv=None):
     base_key = key
 
     step = int(state.step)
+    profiler = metrics.StepProfiler(run_dir) if args.profile else None
+    steps_this_process = 0
     t_epoch = time.time()
     start_epoch = step // max(batcher.steps_per_epoch, 1)
     for epoch in range(start_epoch, cfg.train.max_epoch):
@@ -241,10 +277,13 @@ def main(argv=None):
             )
         )
         for i in range(batcher.steps_per_epoch):
+            if profiler is not None:
+                profiler.at_step(steps_this_process)
             state, m = train_step(
                 state, table, np.asarray(i * b, np.int32), base_key
             )
             step += 1
+            steps_this_process += 1
             if step % cfg.train.log_every == 0:
                 m = jax.device_get(m)
                 log.step(step, epoch, m)
@@ -270,6 +309,9 @@ def main(argv=None):
         checkpoint.save(ckpt_dir, state, step)
         if args.max_steps and step >= args.max_steps:
             break
+    if profiler is not None:
+        profiler.stop()
+        log.log_string(f"profiler trace: {profiler.trace_dir}")
     log.close()
     return state
 

@@ -36,6 +36,10 @@ def main():
                         "pose prior (the reference's protocol: test poses "
                         "share the training scenes' pose distribution); "
                         "'uniform' samples SO(3) uniformly (out of prior)")
+    p.add_argument("--sym-metric", action="store_true",
+                   help="also report the min-over-symmetry-group geodesic "
+                        "rotation error (cloudaae_tpu/symmetry.py) — the "
+                        "meaningful rotation metric for symmetric classes")
     args = p.parse_args()
 
     import jax
@@ -58,6 +62,17 @@ def main():
     state = checkpoint.restore(args.ckpt, state)
     step = int(state.step)
     print(f"evaluating checkpoint at step {step}", flush=True)
+
+    sym_rots = None
+    if args.sym_metric:
+        from cloudaae_tpu import symmetry
+
+        sym_rots = symmetry.build_symmetry_table(
+            np.asarray(obj_models[..., :3], np.float32)
+        )
+        counts = symmetry.num_symmetries(sym_rots)
+        print("symmetry group sizes:",
+              {c: int(counts[c]) for c in args.classes}, flush=True)
 
     def record_poses(cls: int) -> tuple[np.ndarray, np.ndarray]:
         """All (axisangle, translation) pose records for one class."""
@@ -97,11 +112,15 @@ def main():
             )
         res = evaluate_frames_batched(
             frames, cls, state, model, cfg, obj_models, icp=args.icp,
+            sym_rots=sym_rots,
         )
         rows.append((cls, res))
+        sym_str = (f" rot-sym {np.degrees(res.axag_sym_err):.1f}deg"
+                   if args.sym_metric else "")
         print(
             f"class {cls:2d} {YCB_CLASS_NAMES[cls]:24s} frames {res.frames:3d} "
-            f"trans {res.trans_err*100:.2f}cm rot {np.degrees(res.axag_err):.1f}deg "
+            f"trans {res.trans_err*100:.2f}cm rot {np.degrees(res.axag_err):.1f}deg"
+            f"{sym_str} "
             f"ADD {res.add*100:.2f}cm ADD-S {res.add_s*100:.2f}cm "
             f"ADD<2cm {res.add_2cm:.2f} ADD-S<2cm {res.add_s_2cm:.2f}",
             flush=True,
@@ -130,21 +149,32 @@ def main():
             f"{pose_note}. ICP: "
             f"{'on' if args.icp else 'off'}.\n\n"
         )
-        f.write("| class | frames | trans (cm) | rot (deg) | ADD (cm) | "
+        sym_hdr = " rot-sym (deg) |" if args.sym_metric else ""
+        f.write("| class | frames | trans (cm) | rot (deg) |" + sym_hdr +
+                " ADD (cm) | "
                 "ADD-S (cm) | ADD<2cm | ADD-S<2cm | ADD<0.1d | ADD-S<0.1d |\n")
-        f.write("|---|---|---|---|---|---|---|---|---|---|\n")
+        f.write("|---|---|---|---|" + ("---|" if args.sym_metric else "") +
+                "---|---|---|---|---|---|\n")
         for cls, r in rows:
+            sym_cell = (f" {np.degrees(r.axag_sym_err):.1f} |"
+                        if args.sym_metric else "")
             f.write(
                 f"| {cls} {YCB_CLASS_NAMES[cls]} | {r.frames} "
-                f"| {r.trans_err*100:.2f} | {np.degrees(r.axag_err):.1f} "
-                f"| {r.add*100:.2f} | {r.add_s*100:.2f} "
+                f"| {r.trans_err*100:.2f} | {np.degrees(r.axag_err):.1f} |"
+                f"{sym_cell}"
+                f" {r.add*100:.2f} | {r.add_s*100:.2f} "
                 f"| {r.add_2cm:.2f} | {r.add_s_2cm:.2f} "
                 f"| {r.add_01d:.2f} | {r.add_s_01d:.2f} |\n"
             )
+        sym_mean = (
+            f" **{np.degrees(mean(lambda r: r.axag_sym_err)):.1f}** |"
+            if args.sym_metric else ""
+        )
         f.write(
             f"| **mean** | | **{mean(lambda r: r.trans_err)*100:.2f}** "
-            f"| **{np.degrees(mean(lambda r: r.axag_err)):.1f}** "
-            f"| **{mean(lambda r: r.add)*100:.2f}** "
+            f"| **{np.degrees(mean(lambda r: r.axag_err)):.1f}** |"
+            f"{sym_mean}"
+            f" **{mean(lambda r: r.add)*100:.2f}** "
             f"| **{mean(lambda r: r.add_s)*100:.2f}** "
             f"| **{mean(lambda r: r.add_2cm):.2f}** "
             f"| **{mean(lambda r: r.add_s_2cm):.2f}** "

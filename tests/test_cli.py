@@ -63,11 +63,52 @@ def test_train_cli_two_steps(tmp_path):
 
 
 @pytest.mark.skipif(not HAVE_REF, reason="reference data absent")
-def test_evaluate_cli_synthetic(capsys):
+def test_train_cli_linemod_generate_poses(tmp_path):
+    """LINEMOD flow: 13 classes, LINEMOD frustum, on-device pose sampling.
+
+    LINEMOD object models aren't shipped with the reference; the YCB model
+    tfrecord stands in (--object-models) — the flow only gathers rows < 13.
+    """
+    from cloudaae_tpu import train
+
+    state = train.main(
+        [
+            "--dataset", "linemod",
+            "--generate-poses",
+            "--object-models",
+            os.path.join(REF, "object_model_tfrecord/obj_models.tfrecords"),
+            "--batch-size", "8",
+            "--num-point", "64",
+            "--hpr-iters", "4",
+            "--max-steps", "2",
+            "--max-epoch", "1",
+            "--log-every", "1",
+            "--log-dir", str(tmp_path / "log"),
+        ]
+    )
+    assert int(state.step) == 2
+    run_dirs = list((tmp_path / "log" / "13" / "6d").iterdir())
+    assert len(run_dirs) == 1
+    cfg = json.loads((run_dirs[0] / "config.json").read_text())
+    assert cfg["synth"]["dataset"] == "linemod"
+    assert cfg["model"]["num_class"] == 13
+
+
+@pytest.mark.skipif(not HAVE_REF, reason="reference data absent")
+def test_train_cli_linemod_requires_generated_poses():
+    from cloudaae_tpu import train
+
+    with pytest.raises(SystemExit, match="generate-poses"):
+        train.main(["--dataset", "linemod", "--data-root", REF])
+
+
+@pytest.mark.skipif(not HAVE_REF, reason="reference data absent")
+@pytest.mark.parametrize("extra", [[], ["--per-frame"]])
+def test_evaluate_cli_synthetic(capsys, extra):
     from cloudaae_tpu import evaluate
 
     res = evaluate.main(
-        ["--synthetic", "1", "--target-cls", "2", "--data-root", REF]
+        ["--synthetic", "1", "--target-cls", "2", "--data-root", REF, *extra]
     )
     assert res.frames == 1
     out = capsys.readouterr().out

@@ -181,6 +181,82 @@ def test_batched_eval_matches_per_frame(obj_models):
     assert abs(a.add - b.add) < 0.05
 
 
+def test_eval_sym_metric(obj_models):
+    """With a per-class symmetry table, axag_sym_err <= axag_err and both
+    are finite; with no table axag_sym_err == axag_err."""
+    from cloudaae_tpu.evaluate import evaluate_frames_batched
+
+    cfg = Config()
+    model = make_model(cfg.model)
+    state = create_train_state(model, cfg, jax.random.key(0))
+    rng = np.random.default_rng(15)
+    _, R, t = make_pose(rng)
+    frames = [ycb_real.render_frame(obj_models, [0], R[None], t[None])]
+
+    num_class = cfg.model.num_class
+    flip = np.asarray(so3.exp_map(jnp.asarray([np.pi, 0.0, 0.0])))
+    table = np.broadcast_to(
+        np.stack([np.eye(3, dtype=np.float32), flip.astype(np.float32)]),
+        (num_class, 2, 3, 3),
+    ).copy()
+
+    res = evaluate_frames_batched(
+        frames, 0, state, model, cfg, obj_models, sym_rots=table
+    )
+    assert np.isfinite(res.axag_sym_err)
+    assert res.axag_sym_err <= res.axag_err + 1e-5
+
+    res_plain = evaluate_frames_batched(
+        frames, 0, state, model, cfg, obj_models
+    )
+    assert res_plain.axag_sym_err == pytest.approx(res_plain.axag_err, abs=1e-6)
+
+
+def test_batched_eval_with_icp(obj_models):
+    """ICP refinement runs vmapped inside the batched path (one device
+    program per chunk, fori_loop ICP inside it)."""
+    from cloudaae_tpu.evaluate import evaluate_frames_batched
+
+    cfg = Config()
+    model = make_model(cfg.model)
+    state = create_train_state(model, cfg, jax.random.key(0))
+    rng = np.random.default_rng(13)
+    frames = []
+    for i in range(2):
+        _, R, t = make_pose(rng)
+        frames.append(
+            ycb_real.render_frame(obj_models, [4], R[None], t[None], frame_id=i)
+        )
+    res = evaluate_frames_batched(
+        frames, 4, state, model, cfg, obj_models, icp=True, chunk=2
+    )
+    assert res.frames == 2
+    assert np.isfinite(res.add) and np.isfinite(res.add_s)
+
+
+def test_batched_eval_streams_generator(obj_models):
+    """frames may be a generator; chunks are materialized one at a time."""
+    from cloudaae_tpu.evaluate import evaluate_frames_batched
+
+    cfg = Config()
+    model = make_model(cfg.model)
+    state = create_train_state(model, cfg, jax.random.key(0))
+    rng = np.random.default_rng(14)
+
+    def gen():
+        for i in range(3):
+            _, R, t = make_pose(rng)
+            yield ycb_real.render_frame(
+                obj_models, [6], R[None], t[None], frame_id=i
+            )
+
+    res = evaluate_frames_batched(
+        gen(), 6, state, model, cfg, obj_models, chunk=2
+    )
+    assert res.frames == 3
+    assert np.isfinite(res.trans_err)
+
+
 def test_render_is_single_sided(obj_models):
     """The renderer must not leak back-surface points through splat gaps.
 
