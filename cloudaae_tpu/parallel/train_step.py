@@ -194,7 +194,7 @@ def _maybe_symmetry_table(cfg: Config, obj_models: np.ndarray):
         return None
     from cloudaae_tpu import symmetry
 
-    table = symmetry.build_symmetry_table(
+    table = symmetry.build_symmetry_table_cached(
         obj_models,
         max_syms=cfg.loss.sym_max,
         num_angles=cfg.loss.sym_angles,

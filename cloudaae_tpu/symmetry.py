@@ -249,6 +249,48 @@ def build_symmetry_table(
     )
 
 
+def build_symmetry_table_cached(
+    obj_models: np.ndarray,
+    max_syms: int = 16,
+    num_angles: int = 16,
+    tol: float = 1.6,
+    cache_dir: str | None = None,
+) -> np.ndarray:
+    """Disk-cached :func:`build_symmetry_table`.
+
+    Detection is a pure function of the models and the knobs, so the table
+    is memoized under a content hash — a training run pays the detection
+    cost (minutes on CPU for 21 x 2048-pt models) at most once per model
+    set instead of once per process.
+    """
+    import hashlib
+    import os
+
+    pts = np.ascontiguousarray(
+        np.asarray(obj_models, np.float32)[..., :3]
+    )
+    h = hashlib.sha1()
+    h.update(pts.tobytes())
+    h.update(f"{pts.shape}|{max_syms}|{num_angles}|{tol}".encode())
+    cache_dir = cache_dir or os.path.join(
+        os.path.expanduser("~"), ".cache", "cloudaae_tpu"
+    )
+    path = os.path.join(cache_dir, f"symtable-{h.hexdigest()[:16]}.npy")
+    if os.path.exists(path):
+        table = np.load(path)
+        if table.shape == (pts.shape[0], max_syms, 3, 3):
+            return table
+    table = build_symmetry_table(
+        pts, max_syms=max_syms, num_angles=num_angles, tol=tol
+    )
+    os.makedirs(cache_dir, exist_ok=True)
+    # np.save appends ".npy" unless the name already ends with it.
+    tmp = f"{path}.tmp.{os.getpid()}.npy"
+    np.save(tmp, table)
+    os.replace(tmp, path)
+    return table
+
+
 def num_symmetries(table: np.ndarray) -> np.ndarray:
     """Count non-identity entries per class in a (C, S, 3, 3) table."""
     eye = np.eye(3, dtype=table.dtype)

@@ -67,7 +67,7 @@ def main():
     if args.sym_metric:
         from cloudaae_tpu import symmetry
 
-        sym_rots = symmetry.build_symmetry_table(
+        sym_rots = symmetry.build_symmetry_table_cached(
             np.asarray(obj_models[..., :3], np.float32)
         )
         counts = symmetry.num_symmetries(sym_rots)
