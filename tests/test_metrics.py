@@ -61,3 +61,26 @@ def test_add_metrics_identity_and_symmetry():
     add2, add_s2 = add_metrics(shifted, pts)
     assert abs(add2 - 0.01) < 1e-9
     assert add_s2 <= add2 + 1e-12
+
+
+def test_step_profiler_writes_trace(tmp_path):
+    """StepProfiler captures a jax.profiler trace window into <run>/profile/
+    and closes cleanly when the loop ends mid-window (train.py --profile)."""
+    import jax
+    import jax.numpy as jnp
+
+    from cloudaae_tpu.metrics import StepProfiler
+
+    prof = StepProfiler(str(tmp_path), start=2, num_steps=2)
+    f = jax.jit(lambda x: jnp.sum(x * x))
+    for step in range(2, 4):  # loop ends before stop_at=4: stop() cleans up
+        prof.at_step(step)
+        float(f(jnp.arange(8.0)))
+    assert prof._active
+    prof.stop()
+    assert prof._done and not prof._active
+    prof.stop()  # idempotent
+    traces = []
+    for root, _, files in os.walk(os.path.join(str(tmp_path), "profile")):
+        traces += [f for f in files if f.endswith((".pb", ".trace.json.gz", ".xplane.pb"))]
+    assert traces, "no trace files written"
