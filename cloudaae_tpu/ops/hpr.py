@@ -49,6 +49,10 @@ _ROW_CHUNK = 256
 DEFAULT_ITERS = 12
 
 
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
 def spherical_flip(
     points: jnp.ndarray,
     param: float,
@@ -86,6 +90,7 @@ def hpr_visible_mask(
     slack: float = 2e-4,
     row_chunk: int = _ROW_CHUNK,
     use_pallas: bool | None = None,
+    num_test_rows: int | None = None,
 ) -> jnp.ndarray:
     """HPR visibility from the origin via support-margin ascent.
 
@@ -97,7 +102,13 @@ def hpr_visible_mask(
     Every point competes against ALL other points each iteration: even
     strictly *farther* points participate in covering hull facets (a chord
     between a closer point and a farther point on opposite sides can pass
-    below p), so depth-based candidate pruning is unsound.
+    below p), so depth-based *candidate* (column) pruning is unsound.
+    Restricting which ROWS get tested is different and exact: a row's
+    margin never depends on other rows' margins, so ``num_test_rows=K``
+    returns, for the first K points, exactly the visibility of the full
+    computation — the remaining points are reported not-visible without
+    being tested (used by the synthesis pipeline, which never selects
+    occluder points in practice; see synth/pipeline.py).
 
     On TPU the iteration loop runs as a fused Pallas kernel
     (ops.hpr_pallas) keeping the cloud in VMEM; elsewhere (and under
@@ -111,6 +122,8 @@ def hpr_visible_mask(
       iters: ascent iterations (quality knob; 12 ~ 0.977 IoU, 8 ~ 0.972).
       slack: acceptance tolerance in meters of flipped radius.
       use_pallas: None = auto (TPU yes, others no).
+      num_test_rows: only the first ``num_test_rows`` points are tested
+        (exact for those rows — columns stay full); the rest are False.
     Returns:
       (N,) bool visibility.
     """
@@ -122,6 +135,10 @@ def hpr_visible_mask(
         base = jnp.ones((n_in,), bool) if mask is None else mask
         mask = jnp.concatenate([base, jnp.zeros((pad,), bool)])
     n = points.shape[0]
+    if num_test_rows is None:
+        k_pad = n
+    else:
+        k_pad = min(_round_up(min(num_test_rows, n_in), row_chunk), n)
     _, s, dirs, norms = spherical_flip(points, param, mask)
     valid = (norms > 0) if mask is None else (mask & (norms > 0))
 
@@ -133,13 +150,20 @@ def hpr_visible_mask(
 
     if use_pallas is None:
         use_pallas = jax.default_backend() not in ("cpu",)
+    def finish(best):
+        vis = (best >= -slack / two_r) & valid[:k_pad]
+        if k_pad < n:
+            vis = jnp.concatenate([vis, jnp.zeros((n - k_pad,), bool)])
+        return vis[:n_in]
+
     if use_pallas:
         from cloudaae_tpu.ops.hpr_pallas import hpr_best_margin_pallas
 
         best = hpr_best_margin_pallas(
-            f[None], dirs[None], iters=iters, chunk=row_chunk
+            f[None], dirs[None], iters=iters, chunk=row_chunk,
+            num_rows=k_pad,
         )[0]
-        return ((best >= -slack / two_r) & valid)[:n_in]
+        return finish(best)
 
     eps = jnp.asarray(1e-20, points.dtype)
     f_t = f.T  # (3, N)
@@ -169,15 +193,15 @@ def hpr_visible_mask(
         _, best = lax.fori_loop(0, iters, body, (d0_c, best0))
         return best
 
-    n_chunks = n // row_chunk
+    n_chunks = k_pad // row_chunk
     best = lax.map(
         one_chunk,
         (
-            f.reshape(n_chunks, row_chunk, 3),
-            dirs.reshape(n_chunks, row_chunk, 3),
+            f[:k_pad].reshape(n_chunks, row_chunk, 3),
+            dirs[:k_pad].reshape(n_chunks, row_chunk, 3),
         ),
-    ).reshape(n)
-    return ((best >= -slack / two_r) & valid)[:n_in]
+    ).reshape(k_pad)
+    return finish(best)
 
 
 def select_visible(
@@ -219,16 +243,22 @@ def hidden_point_removal(
     iters: int = DEFAULT_ITERS,
     slack: float = 2e-4,
     row_chunk: int = _ROW_CHUNK,
+    num_test_rows: int | None = None,
 ):
     """Flip -> visibility -> fixed-size resample, as one fused device op.
 
     Equivalent to the reference chain ``sphericalFlip`` +
     ``hidden_point_removal`` (utils/hidden_point_removal.py:6-48) but pure and
-    jittable.  Batch via ``jax.vmap``.
+    jittable.  Batch via ``jax.vmap``.  ``num_test_rows`` restricts the
+    selectable population to the first K points (see
+    :func:`hpr_visible_mask`); points past K still occlude.
 
     Returns:
       (selected (num_out, 3), num_visible, visible_mask (N,)).
     """
-    visible = hpr_visible_mask(points, param, mask, iters, slack, row_chunk)
+    visible = hpr_visible_mask(
+        points, param, mask, iters, slack, row_chunk,
+        num_test_rows=num_test_rows,
+    )
     selected, num_vis = select_visible(visible, points, num_out, key)
     return selected, num_vis, visible

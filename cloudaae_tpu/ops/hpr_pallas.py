@@ -83,22 +83,34 @@ def _ascent_kernel(
     best_ref[0, 0] = jnp.maximum(best, margin)
 
 
-@functools.partial(jax.jit, static_argnames=("iters", "chunk", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("iters", "chunk", "num_rows", "interpret")
+)
 def hpr_best_margin_pallas(
-    f_sorted: jnp.ndarray,   # (B, N, 3) normalized flipped cloud, depth-sorted
+    f_sorted: jnp.ndarray,   # (B, N, 3) normalized flipped cloud
     d0_sorted: jnp.ndarray,  # (B, N, 3) unit start directions, same order
     iters: int,
     chunk: int = 128,
+    num_rows: int | None = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Per-point best support margins, (B, N)."""
+    """Per-point best support margins, (B, num_rows or N).
+
+    ``num_rows`` restricts the *row* side (which points get a visibility
+    margin) to the first ``num_rows`` points; the *column* side (the
+    competitor set every margin is measured against) always stays the full
+    cloud, so restricted rows see exactly the margins they would in the
+    full computation.
+    """
     b, n, _ = f_sorted.shape
+    k = n if num_rows is None else num_rows
     assert n % chunk == 0, (n, chunk)
-    n_chunks = n // chunk
+    assert k % chunk == 0 and 0 < k <= n, (k, n, chunk)
+    n_chunks = k // chunk
 
     f_t = jnp.swapaxes(f_sorted, -1, -2)                     # (B, 3, N)
-    f_rows = f_sorted.reshape(b, n_chunks, chunk, 3)
-    d_rows = d0_sorted.reshape(b, n_chunks, chunk, 3)
+    f_rows = f_sorted[:, :k].reshape(b, n_chunks, chunk, 3)
+    d_rows = d0_sorted[:, :k].reshape(b, n_chunks, chunk, 3)
 
     kernel = functools.partial(
         _ascent_kernel, iters=iters, chunk=chunk, n=n
@@ -119,4 +131,4 @@ def hpr_best_margin_pallas(
         out_shape=jax.ShapeDtypeStruct((b, n_chunks, chunk, 1), jnp.float32),
         interpret=interpret,
     )(f_t, f_rows, d_rows)
-    return out.reshape(b, n)
+    return out.reshape(b, k)

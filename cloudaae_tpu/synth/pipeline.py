@@ -72,9 +72,15 @@ def synthesize_one(
     occ = spherical_occluder(k_occ, translation[2], cfg)
     scene = jnp.concatenate([posed, occ], axis=0)
 
+    # Occluded pass: occluder points occlude (columns) but only model rows
+    # are tested/selectable — exact vs the reference's first-NUM_POINT
+    # slice whenever >=NUM_POINT model points are visible (the ascending-
+    # index order of convexHull puts model rows first; see
+    # config.SynthConfig.hpr_model_rows_only).
+    test_rows = posed.shape[0] if cfg.hpr_model_rows_only else None
     seg, num_vis_in, _ = hpr.hidden_point_removal(
         scene, cfg.num_input_points, k_sel_in, cfg.hpr_param,
-        iters=iters, slack=hpr_slack,
+        iters=iters, slack=hpr_slack, num_test_rows=test_rows,
     )
     target, num_vis_org, _ = hpr.hidden_point_removal(
         posed, cfg.num_target_points, k_sel_org, cfg.hpr_param,

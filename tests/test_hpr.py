@@ -165,3 +165,65 @@ def test_pallas_kernel_matches_jnp_path(rng):
     )[0]
     vis_pal = np.asarray(best >= -2e-4 / two_r)
     assert (vis_jnp == vis_pal).all()
+
+
+def test_num_test_rows_exact_on_tested_rows(rng):
+    """Row restriction is exact: the first K rows get the same visibility
+    as in the full computation; the rest are reported not-visible."""
+    pts = make_scene(rng, 512)  # 512 model + 128 occluder = 640 points
+    full = np.asarray(
+        hpr.hpr_visible_mask(jnp.asarray(pts), PARAM, use_pallas=False)
+    )
+    part = np.asarray(
+        hpr.hpr_visible_mask(
+            jnp.asarray(pts), PARAM, use_pallas=False, num_test_rows=512
+        )
+    )
+    assert (part[:512] == full[:512]).all()
+    assert not part[512:].any()
+
+
+def test_num_test_rows_pallas_matches_jnp(rng):
+    pts = make_scene(rng, 512)
+    a = np.asarray(
+        hpr.hpr_visible_mask(
+            jnp.asarray(pts), PARAM, use_pallas=False, num_test_rows=512
+        )
+    )
+    # interpret-mode pallas path via the public entry
+    import cloudaae_tpu.ops.hpr_pallas as hp
+
+    orig = hp.hpr_best_margin_pallas
+
+    def interp(*args, **kw):
+        kw["interpret"] = True
+        return orig(*args, **kw)
+
+    hp.hpr_best_margin_pallas = interp
+    try:
+        b = np.asarray(
+            hpr.hpr_visible_mask(
+                jnp.asarray(pts), PARAM, use_pallas=True, num_test_rows=512
+            )
+        )
+    finally:
+        hp.hpr_best_margin_pallas = orig
+    assert (a == b).all()
+
+
+def test_hidden_point_removal_rows_only_selection_matches_full(rng):
+    """With >=num_out visible model rows, the selected segment is identical
+    whether or not occluder rows were tested (ascending-index order puts
+    model rows first either way) — the exactness condition of
+    config.SynthConfig.hpr_model_rows_only."""
+    pts = make_scene(rng, 512)
+    key = jax.random.key(3)
+    sel_full, nv_full, vis_full = hpr.hidden_point_removal(
+        jnp.asarray(pts), 128, key, PARAM
+    )
+    sel_part, nv_part, _ = hpr.hidden_point_removal(
+        jnp.asarray(pts), 128, key, PARAM, num_test_rows=512
+    )
+    assert int(np.asarray(vis_full)[:512].sum()) >= 128  # condition holds
+    assert np.array_equal(np.asarray(sel_full), np.asarray(sel_part))
+    assert int(nv_part) == int(np.asarray(vis_full)[:512].sum())

@@ -156,3 +156,26 @@ def test_occlusion_actually_reduces_visibility(obj_models):
     # the *object's* visible share should shrink vs the clean pass
     assert np.mean(counts_org) > 200
     assert np.mean(counts_in) > 0
+
+
+def test_synthesize_one_model_rows_only_matches_full(obj_models):
+    """hpr_model_rows_only must not change the synthesized sample when
+    >=num_input_points model points are visible (always, in practice)."""
+    import dataclasses
+
+    axag = jnp.asarray([0.4, -1.1, 0.7])
+    t = jnp.asarray([0.03, -0.02, 0.75])
+    key = jax.random.key(11)
+    on = synthesize_one(
+        obj_models[2], axag, t, key, SynthConfig(hpr_model_rows_only=True)
+    )
+    off = synthesize_one(
+        obj_models[2], axag, t, key, SynthConfig(hpr_model_rows_only=False)
+    )
+    assert int(on["num_vis_in"]) >= 256  # exactness condition
+    assert np.array_equal(
+        np.asarray(on["input_points"]), np.asarray(off["input_points"])
+    )
+    assert np.array_equal(
+        np.asarray(on["target_points"]), np.asarray(off["target_points"])
+    )
