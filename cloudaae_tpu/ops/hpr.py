@@ -260,5 +260,11 @@ def hidden_point_removal(
         points, param, mask, iters, slack, row_chunk,
         num_test_rows=num_test_rows,
     )
-    selected, num_vis = select_visible(visible, points, num_out, key)
+    if num_test_rows is not None:
+        # nothing past num_test_rows is visible — shrink the selection
+        # argsort to the tested prefix (same selected set, same order)
+        k = min(num_test_rows, points.shape[0])
+        selected, num_vis = select_visible(visible[:k], points[:k], num_out, key)
+    else:
+        selected, num_vis = select_visible(visible, points, num_out, key)
     return selected, num_vis, visible
