@@ -57,6 +57,50 @@ def restore(ckpt_dir: str, target: Any, step: int | None = None) -> Any:
         return ckptr.restore(path, target)
 
 
+def export_params(state: Any, out_path: str) -> str:
+    """Optimizer-state-free deploy artifact: one ``.npz`` of params +
+    batch_stats + step (~1/3 of a full TrainState checkpoint — no Adam
+    slots).  The reference has no equivalent: ``tf.train.Saver`` always
+    carries optimizer variables (train_cloudAAE_ycbv.py:276).  Load with
+    :func:`load_params` / ``infer.Predictor.from_params``.
+    """
+    from flax import traverse_util
+
+    flat = {}
+    for prefix, tree in (
+        ("params", state.params),
+        ("batch_stats", state.batch_stats),
+    ):
+        for path, leaf in traverse_util.flatten_dict(tree).items():
+            key = "/".join((prefix,) + tuple(path))
+            flat[key] = np.asarray(jax.device_get(leaf))
+    flat["step"] = np.asarray(int(state.step), np.int64)
+    if not out_path.endswith(".npz"):
+        out_path += ".npz"
+    np.savez_compressed(out_path, **flat)
+    return out_path
+
+
+def load_params(path: str) -> tuple[dict, dict, int]:
+    """Inverse of :func:`export_params` -> (params, batch_stats, step)."""
+    from flax import traverse_util
+
+    data = np.load(path)
+    trees: dict[str, dict] = {"params": {}, "batch_stats": {}}
+    step = 0
+    for key in data.files:
+        if key == "step":
+            step = int(data[key])
+            continue
+        head, *rest = key.split("/")
+        trees[head][tuple(rest)] = data[key]
+    return (
+        traverse_util.unflatten_dict(trees["params"]),
+        traverse_util.unflatten_dict(trees["batch_stats"]),
+        step,
+    )
+
+
 def transfer_encoder(src_state: Any, dst_state: Any) -> Any:
     """Copy encoder params + batch stats from one state into another.
 

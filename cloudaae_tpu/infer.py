@@ -54,6 +54,21 @@ class Predictor:
         )
 
     @classmethod
+    def from_params(
+        cls, npz_path: str, cfg: Config | None = None, obj_models=None
+    ) -> "Predictor":
+        """Load a deploy artifact written by ``checkpoint.export_params``
+        (params + batch_stats only, no optimizer state)."""
+        cfg = cfg or Config()
+        params, batch_stats, _ = checkpoint.load_params(npz_path)
+        return cls(
+            model=make_model(cfg.model),
+            variables={"params": params, "batch_stats": batch_stats},
+            cfg=cfg,
+            obj_models=obj_models,
+        )
+
+    @classmethod
     def from_state(cls, state: TrainState, cfg: Config, obj_models=None):
         return cls(
             model=make_model(cfg.model),

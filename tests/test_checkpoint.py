@@ -127,3 +127,38 @@ def test_import_tf_checkpoint_values(model_and_vars):
     src_m = [v for k, v in tf_vars.items() if "dgcnn1/bn" in k and k.endswith(
         "moments/Squeeze/ExponentialMovingAverage")][0]
     assert np.allclose(m, src_m)
+
+
+def test_export_params_roundtrip_and_predictor(tmp_path, model_and_vars):
+    """export_params -> load_params is exact, and Predictor.from_params
+    predicts identically to Predictor.from_state."""
+    cfg, model, _ = model_and_vars
+    state = create_train_state(model, cfg, jax.random.key(1))
+    out = checkpoint.export_params(state, str(tmp_path / "deploy"))
+    assert out.endswith(".npz") and os.path.exists(out)
+
+    params, batch_stats, step = checkpoint.load_params(out)
+    assert step == int(state.step)
+    for want_tree, got_tree in (
+        (state.params, params), (state.batch_stats, batch_stats)
+    ):
+        want = dict(flax_paths(jax.device_get(want_tree)))
+        got = dict(flax_paths(got_tree))
+        assert set(want) == set(got)
+        for path in want:
+            assert np.array_equal(
+                np.asarray(want[path]), np.asarray(got[path])
+            ), path
+
+    from cloudaae_tpu.infer import Predictor
+
+    a = Predictor.from_state(state, cfg)
+    b = Predictor.from_params(out, cfg)
+    rng = np.random.default_rng(3)
+    segs = (rng.normal(size=(2, 256, 3)) * 0.05).astype(np.float32)
+    segs[..., 2] += 0.7
+    cls = np.array([0, 5], np.int32)
+    Ra, ta = a(segs, cls)
+    Rb, tb = b(segs, cls)
+    assert np.array_equal(np.asarray(Ra), np.asarray(Rb))
+    assert np.array_equal(np.asarray(ta), np.asarray(tb))
