@@ -99,6 +99,10 @@ class MetricLogger:
             "trans_loss": float(host["trans_loss"]),
             "axag_loss": float(host["axag_loss"]),
         }
+        # the symmetry-aware rotation loss when --sym-loss is on (the plain
+        # geodesic above stays for comparability across runs)
+        if "axag_sym_loss" in host:
+            row["axag_sym_loss"] = float(host["axag_sym_loss"])
         if self._writer is None:
             self._csv = open(self._csv_path, "a", newline="")
             self._writer = csv.DictWriter(self._csv, fieldnames=list(row))
@@ -106,8 +110,9 @@ class MetricLogger:
                 self._writer.writeheader()
         self._writer.writerow(row)
         if self._tb is not None:
-            for k in ("total_loss", "xyz_loss", "trans_loss", "axag_loss"):
-                self._tb.add_scalar(k, row[k], step)
+            for k in row:
+                if k.endswith("_loss"):
+                    self._tb.add_scalar(k, row[k], step)
 
     def flush_per_class(self, step: int) -> dict[str, float]:
         """Emit and reset per-class averages (reference cadence: every 1000

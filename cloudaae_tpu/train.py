@@ -287,11 +287,13 @@ def main(argv=None):
             if step % cfg.train.log_every == 0:
                 m = jax.device_get(m)
                 log.step(step, epoch, m)
+                sym = (f" sym {float(m['axag_sym_loss']):.4f}"
+                       if "axag_sym_loss" in m else "")
                 log.log_string(
                     f"epoch {epoch} step {step} "
                     f"xyz {float(m['xyz_loss']):.6f} "
                     f"trans {float(m['trans_loss']):.4f} "
-                    f"axag {float(m['axag_loss']):.4f}"
+                    f"axag {float(m['axag_loss']):.4f}{sym}"
                 )
             if step % cfg.train.summary_every == 0:
                 log.flush_per_class(step)
