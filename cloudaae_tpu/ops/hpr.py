@@ -152,6 +152,10 @@ def hpr_visible_mask(
         use_pallas = jax.default_backend() not in ("cpu",)
     def finish(best):
         vis = (best >= -slack / two_r) & valid[:k_pad]
+        if num_test_rows is not None and num_test_rows < k_pad:
+            # k_pad rounds up to the chunk boundary; enforce the exact
+            # contract (rows >= num_test_rows are never visible)
+            vis = vis & (jnp.arange(k_pad) < num_test_rows)
         if k_pad < n:
             vis = jnp.concatenate([vis, jnp.zeros((n - k_pad,), bool)])
         return vis[:n_in]

@@ -227,3 +227,19 @@ def test_hidden_point_removal_rows_only_selection_matches_full(rng):
     assert int(np.asarray(vis_full)[:512].sum()) >= 128  # condition holds
     assert np.array_equal(np.asarray(sel_full), np.asarray(sel_part))
     assert int(nv_part) == int(np.asarray(vis_full)[:512].sum())
+
+
+def test_num_test_rows_non_chunk_multiple_contract(rng):
+    """Rows at and past a non-chunk-multiple num_test_rows are never
+    visible, even inside the rounded-up compute chunk."""
+    pts = make_scene(rng, 512)
+    full = np.asarray(
+        hpr.hpr_visible_mask(jnp.asarray(pts), PARAM, use_pallas=False)
+    )
+    p500 = np.asarray(
+        hpr.hpr_visible_mask(
+            jnp.asarray(pts), PARAM, use_pallas=False, num_test_rows=500
+        )
+    )
+    assert (p500[:500] == full[:500]).all()
+    assert not p500[500:].any()
