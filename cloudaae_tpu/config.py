@@ -177,6 +177,18 @@ class ModelConfig:
     # trajectory matches exact top-k (total 3.758 vs 3.712, xyz identical,
     # axag 1.868 vs 1.875) while the step drops 62.1 -> 59.9 ms.
     knn_approx_recall: float | None = 0.95
+    # Rotation-head representation: 'axag' = 3-vector axis-angle (the
+    # reference's head, models/pointnet_ycb_23_decoder_4.py:443-449); '6d' =
+    # continuous 6D representation (Zhou et al. CVPR 2019, Gram-Schmidt in
+    # so3.rot6d_to_mat).  Axis-angle regression is discontinuous at theta =
+    # pi, which caps accuracy when training on full-SO(3) poses
+    # (--generate-poses); '6d' removes that obstruction.  The loss/metrics
+    # are geodesic on the resulting matrix either way.
+    rot_rep: str = "axag"
+
+    @property
+    def rot_out_dim(self) -> int:
+        return {"axag": 3, "6d": 6}[self.rot_rep]
 
     @property
     def input_channels(self) -> int:
@@ -274,6 +286,49 @@ class Config:
 
     def replace(self, **kw: Any) -> "Config":
         return dataclasses.replace(self, **kw)
+
+
+def _dataclass_from_dict(cls: type, d: dict) -> Any:
+    """Rebuild a (flat) config dataclass from an asdict() dict.
+
+    Unknown keys are ignored (older run dirs predate newer fields; newer
+    run dirs may carry fields an older checkout lacks) and list values are
+    coerced back to the tuples the dataclasses declare.
+    """
+    fields = {f.name: f for f in dataclasses.fields(cls)}
+    kw = {}
+    for k, v in d.items():
+        if k not in fields:
+            continue
+        if isinstance(v, list):
+            v = tuple(v)
+        kw[k] = v
+    return cls(**kw)
+
+
+def config_from_dict(d: dict) -> "Config":
+    """Inverse of ``dataclasses.asdict(Config)`` — rebuild the nested tree."""
+    return Config(
+        synth=_dataclass_from_dict(SynthConfig, d.get("synth", {})),
+        model=_dataclass_from_dict(ModelConfig, d.get("model", {})),
+        loss=_dataclass_from_dict(LossConfig, d.get("loss", {})),
+        train=_dataclass_from_dict(TrainConfig, d.get("train", {})),
+        eval=_dataclass_from_dict(EvalConfig, d.get("eval", {})),
+        data=_dataclass_from_dict(DataConfig, d.get("data", {})),
+        log_dir=d.get("log_dir", "log"),
+    )
+
+
+def config_from_run_dir(run_dir: str) -> "Config":
+    """Load the ``config.json`` a training run archived in its run dir
+    (metrics.py:37 — the self-archival habit of train_cloudAAE_ycbv.py:151-163),
+    so evaluation rebuilds the exact model (rot_rep, dtype, knn mode, ...)
+    the checkpoint was trained with."""
+    import json
+    import os
+
+    with open(os.path.join(run_dir, "config.json")) as f:
+        return config_from_dict(json.load(f))
 
 
 def bn_decay_at(step_times_batch: float, cfg: ModelConfig) -> float:

@@ -180,8 +180,11 @@ def make_eval_forward(model, cfg: Config, obj_models: np.ndarray, icp: bool,
         recon_res, rot_pred, trans_res, _ = model.apply(variables, net_in)
         recon = recon_res[0] + mean
         trans_pred = trans_res[0] + mean
-        rot_axag = rot_pred[0]
-        R_pred = so3.exp_map(rot_axag)
+        R_pred = so3.head_to_mat(rot_pred[0], cfg.model.rot_rep)
+        # report axis-angle regardless of head representation (the
+        # reference's output convention, evaluate_cloudAAE_ycbv.py:571-603)
+        rot_axag = (rot_pred[0] if cfg.model.rot_rep == "axag"
+                    else so3.log_map(R_pred)[0])
 
         # recon FPS to N (reference :450) and chamfer vs the clean HPR
         # visible segment of the gt-posed model (:328-332,430-432,452)
@@ -260,6 +263,12 @@ class EvalResult:
     add_s_01d: float
     # min-over-symmetry-group geodesic (== axag_err when no table given)
     axag_sym_err: float = float("nan")
+    # Area under the accuracy-vs-threshold curve for thresholds 0..10 cm —
+    # the YCB-Video protocol of PoseCNN (Xiang et al., RSS 2018), the
+    # metric the reference's paper tables use (README.md:63-75 citation).
+    # Closed form: AUC = E[max(0, 1 - d / 0.1)].
+    add_auc: float = float("nan")
+    add_s_auc: float = float("nan")
 
 
 def evaluate_frames(
@@ -337,6 +346,7 @@ def _result_from_acc(acc: dict) -> EvalResult:
     add_s = np.asarray(acc["add_s"])
     diam = np.asarray(acc["diam"])
     thr = 0.02
+    auc_max = 0.1  # 10 cm, the PoseCNN/YCB-Video AUC range
     return EvalResult(
         frames=n,
         trans_err=float(np.mean(acc["trans_err"])),
@@ -348,6 +358,8 @@ def _result_from_acc(acc: dict) -> EvalResult:
         add_01d=float(np.mean(add < 0.1 * diam)),
         add_s_01d=float(np.mean(add_s < 0.1 * diam)),
         axag_sym_err=float(np.mean(acc["axag_sym_err"])),
+        add_auc=float(np.mean(np.maximum(0.0, 1.0 - add / auc_max))),
+        add_s_auc=float(np.mean(np.maximum(0.0, 1.0 - add_s / auc_max))),
     )
 
 
@@ -470,7 +482,16 @@ def get_parser() -> argparse.ArgumentParser:
 
 def main(argv=None):
     args = get_parser().parse_args(argv)
-    cfg = Config()
+    # rebuild the trained model's exact config (rot_rep, dtype, ...) from
+    # the run dir's archived config.json when evaluating a checkpoint
+    run_dir = (os.path.dirname(os.path.abspath(args.trained_model.rstrip("/")))
+               if args.trained_model else "")
+    if run_dir and os.path.exists(os.path.join(run_dir, "config.json")):
+        from cloudaae_tpu.config import config_from_run_dir
+
+        cfg = config_from_run_dir(run_dir)
+    else:
+        cfg = Config()
     obj_models = load_object_models(
         os.path.join(args.data_root, "object_model_tfrecord/obj_models.tfrecords")
     )
@@ -531,7 +552,8 @@ def main(argv=None):
     print(
         f"ADD {result.add:.6f} ADD-S {result.add_s:.6f} "
         f"ADD<2cm {result.add_2cm:.3f} ADD-S<2cm {result.add_s_2cm:.3f} "
-        f"ADD<0.1d {result.add_01d:.3f} ADD-S<0.1d {result.add_s_01d:.3f}"
+        f"ADD<0.1d {result.add_01d:.3f} ADD-S<0.1d {result.add_s_01d:.3f} "
+        f"AUC {result.add_auc:.3f} AUC-S {result.add_s_auc:.3f}"
     )
     return result
 

@@ -94,10 +94,12 @@ class Predictor:
                 ],
                 axis=-1,
             )
-            recon_res, rot_axag, trans_res, _ = self.model.apply(
+            recon_res, rot_raw, trans_res, _ = self.model.apply(
                 variables, net_in
             )
-            R = so3.exp_map(rot_axag)
+            R = so3.head_to_mat(rot_raw, cfg.model.rot_rep)
+            rot_axag = (rot_raw if cfg.model.rot_rep == "axag"
+                        else so3.log_map(R)[0])
             t = trans_res + mean
             recon = recon_res + mean[:, None]
             return R, t, rot_axag, recon

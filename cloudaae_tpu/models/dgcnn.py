@@ -276,7 +276,7 @@ class CloudAAE(nn.Module):
         if not cfg.with_heads:
             return recon, None, None, end_points
 
-        rot = FCHead(cfg.head_fc, 3, dtype=_dtype_of(cfg),
+        rot = FCHead(cfg.head_fc, cfg.rot_out_dim, dtype=_dtype_of(cfg),
                      name="rot_head", name_prefix="fc")(
             emb, train_heads, momentum
         )

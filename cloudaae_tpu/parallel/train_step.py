@@ -151,12 +151,13 @@ def _forward_and_losses(
 
     xyz_loss, xyz_per = chamfer_loss(recon, target)
     trans_loss, trans_per = so3.translation_error(trans_pred, translation)
-    axag_loss, axag_per = so3.rotation_error(rot_pred, axisangle)
+    R_pred = so3.head_to_mat(rot_pred, cfg.model.rot_rep)
+    axag_loss, axag_per = so3.rotation_error_mat(R_pred, axisangle)
     if sym_rots is not None:
         from cloudaae_tpu import symmetry
 
-        rot_loss, _ = symmetry.rotation_error_sym(
-            rot_pred, axisangle, jnp.asarray(sym_rots)[class_id]
+        rot_loss, _ = symmetry.rotation_error_sym_mat(
+            R_pred, axisangle, jnp.asarray(sym_rots)[class_id]
         )
     else:
         rot_loss = axag_loss
@@ -352,7 +353,9 @@ def make_train_step_real(model: CloudAAE, cfg: Config, obj_models: jnp.ndarray):
             trans_pred = trans_res + mean
             xyz_loss, _ = chamfer_loss(recon, target)
             trans_loss, _ = so3.translation_error(trans_pred, translation)
-            axag_loss, _ = so3.rotation_error(rot_pred, axisangle)
+            axag_loss, _ = so3.rotation_error_mat(
+                so3.head_to_mat(rot_pred, cfg.model.rot_rep), axisangle
+            )
             total = (
                 cfg.loss.chamfer_weight * xyz_loss
                 + cfg.loss.trans_weight * trans_loss

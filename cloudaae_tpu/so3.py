@@ -135,10 +135,56 @@ def rotation_error(pred_axag: jnp.ndarray, label_axag: jnp.ndarray) -> tuple[jnp
     Mirrors ``get_rotation_error`` (angular_distance_taylor.py:103-116):
     returns ``(mean_angle, per_sample_angle)`` in radians.
     """
-    R_pred = exp_map(pred_axag)
-    R_label = exp_map(label_axag)
-    theta = geodesic_angle(R_label, R_pred)
+    return rotation_error_mat(exp_map(pred_axag), label_axag)
+
+
+def rotation_error_mat(R_pred: jnp.ndarray, label_axag: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """:func:`rotation_error` with the prediction already a matrix.
+
+    Shared by both rotation-head representations (``head_to_mat``): the
+    loss/metric is the geodesic angle either way.
+    """
+    theta = geodesic_angle(exp_map(label_axag), R_pred)
     return jnp.mean(theta), theta
+
+
+def rot6d_to_mat(x: jnp.ndarray) -> jnp.ndarray:
+    """Continuous 6D rotation representation -> matrix (..., 6) -> (..., 3, 3).
+
+    Gram-Schmidt on the two predicted 3-vectors (the first two *columns* of
+    R), per "On the Continuity of Rotation Representations in Neural
+    Networks" (Zhou et al., CVPR 2019).  Unlike axis-angle — the reference's
+    head output (models/pointnet_ycb_23_decoder_4.py:443-449), which is
+    discontinuous at ||v|| = pi — this map is continuous and surjective onto
+    SO(3), which is what lets a regression head cover the full rotation
+    group (ModelConfig.rot_rep = '6d').
+    """
+    a1, a2 = x[..., 0:3], x[..., 3:6]
+    eps = jnp.asarray(1e-8, x.dtype)
+    b1 = a1 / jnp.maximum(jnp.linalg.norm(a1, axis=-1, keepdims=True), eps)
+    a2p = a2 - jnp.sum(b1 * a2, axis=-1, keepdims=True) * b1
+    b2 = a2p / jnp.maximum(jnp.linalg.norm(a2p, axis=-1, keepdims=True), eps)
+    b3 = jnp.cross(b1, b2)
+    return jnp.stack([b1, b2, b3], axis=-1)  # columns
+
+
+def mat_to_rot6d(R: jnp.ndarray) -> jnp.ndarray:
+    """Matrix -> 6D representation: the first two columns, flattened (..., 6)."""
+    return jnp.concatenate([R[..., :, 0], R[..., :, 1]], axis=-1)
+
+
+def head_to_mat(rot: jnp.ndarray, rep: str) -> jnp.ndarray:
+    """Rotation-head output -> matrix for either head representation.
+
+    ``rep='axag'``: (..., 3) axis-angle through :func:`exp_map` (the
+    reference's convention); ``rep='6d'``: (..., 6) through
+    :func:`rot6d_to_mat`.
+    """
+    if rep == "axag":
+        return exp_map(rot)
+    if rep == "6d":
+        return rot6d_to_mat(rot)
+    raise ValueError(f"unknown rotation representation {rep!r}")
 
 
 def translation_error(pred: jnp.ndarray, label: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:

@@ -314,7 +314,16 @@ def rotation_error_sym(
       (mean_angle, per_sample_angle (B,)) in radians; reduces to
       :func:`so3.rotation_error` when sym_rots is all-identity.
     """
-    R_pred = so3.exp_map(pred_axag)  # (B, 3, 3)
+    return rotation_error_sym_mat(so3.exp_map(pred_axag), label_axag, sym_rots)
+
+
+def rotation_error_sym_mat(
+    R_pred: jnp.ndarray,
+    label_axag: jnp.ndarray,
+    sym_rots: jnp.ndarray,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """:func:`rotation_error_sym` with the prediction already a matrix
+    (shared by both rotation-head representations, so3.head_to_mat)."""
     R_gt = so3.exp_map(label_axag)  # (B, 3, 3)
     R_equiv = jnp.einsum(
         "bij,bsjk->bsik", R_gt, sym_rots, precision="highest"

@@ -86,6 +86,13 @@ def get_parser() -> argparse.ArgumentParser:
     hyper.add_argument("--compute-dtype",
                        default=config_mod.ModelConfig.compute_dtype,
                        choices=["float32", "bfloat16"])
+    hyper.add_argument("--rot-rep", default=config_mod.ModelConfig.rot_rep,
+                       choices=["axag", "6d"],
+                       help="rotation-head representation: 'axag' = the "
+                            "reference's 3-vector axis-angle; '6d' = "
+                            "continuous Gram-Schmidt representation "
+                            "(so3.rot6d_to_mat) — use with "
+                            "--generate-poses for full-SO(3) coverage")
     hyper.add_argument("--learning-rate", type=float, default=8e-4)
     hyper.add_argument("--hpr-iters", type=int, default=8)
     hyper.add_argument("--dp", type=int, default=-1)
@@ -118,6 +125,7 @@ def config_from_args(args) -> Config:
         model=dataclasses.replace(
             cfg.model, num_point=args.num_point, name=args.model,
             compute_dtype=args.compute_dtype, num_class=num_class,
+            rot_rep=args.rot_rep,
         ),
         loss=dataclasses.replace(cfg.loss, rot_sym=args.sym_loss),
         train=dataclasses.replace(

@@ -46,14 +46,22 @@ def main():
     from scipy.spatial.transform import Rotation
 
     from cloudaae_tpu import checkpoint
-    from cloudaae_tpu.config import Config, YCB_CLASS_NAMES
+    from cloudaae_tpu.config import Config, YCB_CLASS_NAMES, config_from_run_dir
     from cloudaae_tpu.data import load_object_models, ycb_real
     from cloudaae_tpu.data import tfrecord
     from cloudaae_tpu.evaluate import evaluate_frames_batched
     from cloudaae_tpu.models import make_model
     from cloudaae_tpu.parallel.train_step import create_train_state
 
-    cfg = Config()
+    # rebuild the exact trained model (rot_rep, dtype, ...) from the run
+    # dir's archived config.json (ckpt dirs live at <run_dir>/ckpt)
+    run_dir = os.path.dirname(os.path.abspath(args.ckpt.rstrip("/")))
+    if os.path.exists(os.path.join(run_dir, "config.json")):
+        cfg = config_from_run_dir(run_dir)
+        print(f"config from {run_dir}/config.json "
+              f"(rot_rep={cfg.model.rot_rep})", flush=True)
+    else:
+        cfg = Config()
     obj_models = load_object_models(
         os.path.join(args.data_root, "object_model_tfrecord/obj_models.tfrecords")
     )
@@ -152,9 +160,10 @@ def main():
         sym_hdr = " rot-sym (deg) |" if args.sym_metric else ""
         f.write("| class | frames | trans (cm) | rot (deg) |" + sym_hdr +
                 " ADD (cm) | "
-                "ADD-S (cm) | ADD<2cm | ADD-S<2cm | ADD<0.1d | ADD-S<0.1d |\n")
+                "ADD-S (cm) | ADD<2cm | ADD-S<2cm | ADD<0.1d | ADD-S<0.1d |"
+                " AUC | AUC-S |\n")
         f.write("|---|---|---|---|" + ("---|" if args.sym_metric else "") +
-                "---|---|---|---|---|---|\n")
+                "---|---|---|---|---|---|---|---|\n")
         for cls, r in rows:
             sym_cell = (f" {np.degrees(r.axag_sym_err):.1f} |"
                         if args.sym_metric else "")
@@ -164,7 +173,8 @@ def main():
                 f"{sym_cell}"
                 f" {r.add*100:.2f} | {r.add_s*100:.2f} "
                 f"| {r.add_2cm:.2f} | {r.add_s_2cm:.2f} "
-                f"| {r.add_01d:.2f} | {r.add_s_01d:.2f} |\n"
+                f"| {r.add_01d:.2f} | {r.add_s_01d:.2f} "
+                f"| {r.add_auc:.3f} | {r.add_s_auc:.3f} |\n"
             )
         sym_mean = (
             f" **{np.degrees(mean(lambda r: r.axag_sym_err)):.1f}** |"
@@ -179,7 +189,9 @@ def main():
             f"| **{mean(lambda r: r.add_2cm):.2f}** "
             f"| **{mean(lambda r: r.add_s_2cm):.2f}** "
             f"| **{mean(lambda r: r.add_01d):.2f}** "
-            f"| **{mean(lambda r: r.add_s_01d):.2f}** |\n"
+            f"| **{mean(lambda r: r.add_s_01d):.2f}** "
+            f"| **{mean(lambda r: r.add_auc):.3f}** "
+            f"| **{mean(lambda r: r.add_s_auc):.3f}** |\n"
         )
         f.write(
             "\nNotes: rot (deg) is the geodesic angle to the single "

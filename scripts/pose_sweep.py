@@ -51,7 +51,7 @@ def main():
     from scipy.spatial.transform import Rotation
 
     from cloudaae_tpu import checkpoint
-    from cloudaae_tpu.config import Config
+    from cloudaae_tpu.config import Config, config_from_run_dir
     from cloudaae_tpu.data import load_object_models, tfrecord
     from cloudaae_tpu.models import make_model
     from cloudaae_tpu.parallel.train_step import (
@@ -59,7 +59,13 @@ def main():
         make_eval_step,
     )
 
-    cfg = Config()
+    run_dir = os.path.dirname(os.path.abspath(args.ckpt.rstrip("/")))
+    if os.path.exists(os.path.join(run_dir, "config.json")):
+        cfg = config_from_run_dir(run_dir)
+        print(f"config from {run_dir}/config.json "
+              f"(rot_rep={cfg.model.rot_rep})", flush=True)
+    else:
+        cfg = Config()
     if args.sym:
         cfg = dataclasses.replace(
             cfg, loss=dataclasses.replace(cfg.loss, rot_sym=True)

@@ -175,3 +175,23 @@ def test_train_cli_real_records(tmp_path):
         "--log-dir", str(tmp_path / "log"),
     ])
     assert int(state.step) == 2
+
+
+def test_config_from_dict_roundtrip():
+    """config.json (dataclasses.asdict) -> config_from_dict is the identity,
+    ignores unknown keys, and restores tuples."""
+    import dataclasses
+
+    from cloudaae_tpu.config import Config, config_from_dict
+
+    cfg = Config().replace(
+        model=dataclasses.replace(Config().model, rot_rep="6d"),
+    )
+    d = dataclasses.asdict(cfg)
+    # json round-trip turns tuples into lists; simulate it
+    import json
+
+    d = json.loads(json.dumps(d))
+    d["model"]["some_future_field"] = 123  # unknown keys must be ignored
+    back = config_from_dict(d)
+    assert back == cfg

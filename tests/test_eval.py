@@ -322,3 +322,45 @@ def test_compact_decimates_evenly():
     assert int(count) == 2000
     kept = np.asarray(out)[np.asarray(out_mask)][:, 0].astype(int)
     np.testing.assert_array_equal(kept, np.nonzero(small_mask)[0])
+
+
+def test_evaluate_frames_rot6d_head(obj_models):
+    """Eval pipeline with the 6d rotation head: finite metrics, and the
+    reported rot_pred stays axis-angle (the reference's convention)."""
+    import dataclasses
+
+    cfg = Config()
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, rot_rep="6d")
+    )
+    model = make_model(cfg.model)
+    state = create_train_state(model, cfg, jax.random.key(0))
+    rng = np.random.default_rng(11)
+    _, R, t = make_pose(rng)
+    frame = ycb_real.render_frame(obj_models, [3], R[None], t[None])
+    res = evaluate_frames(
+        [frame], 3, state, model, cfg, obj_models, verbose=False
+    )
+    assert res.frames == 1
+    assert np.isfinite(res.axag_err) and 0 <= res.axag_err <= np.pi + 1e-3
+    assert np.isfinite(res.add_s)
+
+
+def test_add_auc_closed_form():
+    """AUC = E[max(0, 1 - d/0.1)] — exact for the 0..10cm threshold sweep
+    (PoseCNN YCB protocol): spot-check against an explicit threshold
+    integral."""
+    from cloudaae_tpu.evaluate import _result_from_acc
+
+    d = np.array([0.0, 0.01, 0.05, 0.09, 0.2])  # last one beyond 10cm
+    acc = {
+        "trans_err": list(d), "axag_err": list(d), "axag_sym_err": list(d),
+        "add": list(d), "add_s": list(d), "diam": list(np.ones_like(d)),
+    }
+    res = _result_from_acc(acc)
+    ts = np.linspace(0, 0.1, 100001)
+    auc_numeric = np.trapezoid(
+        [np.mean(d < t) for t in ts], ts
+    ) / 0.1
+    assert abs(res.add_auc - auc_numeric) < 1e-3
+    assert res.add_s_auc == res.add_auc

@@ -195,3 +195,61 @@ def test_rotation_decomp_twist(rng):
     own_axis = axag / np.linalg.norm(axag, axis=-1, keepdims=True)
     tw = np.asarray(so3.twist_angle(R, jnp.asarray(own_axis)))
     assert np.allclose(np.abs(tw), np.linalg.norm(axag, axis=-1), atol=2e-3)
+
+
+def test_rot6d_roundtrip(rng):
+    """R -> 6d (first two columns) -> R is the identity on SO(3)."""
+    axag = rng.normal(size=(32, 3)).astype(np.float32)
+    R = np_rodrigues(axag)
+    x6 = so3.mat_to_rot6d(jnp.asarray(R, jnp.float32))
+    R_back = np.asarray(so3.rot6d_to_mat(x6))
+    assert np.max(np.abs(R_back - R)) < 1e-5
+
+
+def test_rot6d_arbitrary_input_is_rotation(rng):
+    """Any (non-degenerate) 6-vector maps to a proper rotation matrix —
+    the surjectivity/validity property the head relies on."""
+    x6 = jnp.asarray(rng.normal(size=(64, 6)).astype(np.float32))
+    R = np.asarray(so3.rot6d_to_mat(x6), np.float64)
+    eye = np.einsum("bij,bkj->bik", R, R)
+    assert np.max(np.abs(eye - np.eye(3))) < 1e-5
+    assert np.allclose(np.linalg.det(R), 1.0, atol=1e-5)
+
+
+def test_rot6d_continuity_near_pi(rng):
+    """The 6d rep is continuous where axis-angle is not: two rotations a
+    tiny geodesic step apart across theta = pi have nearby 6d coords but
+    near-antipodal axis-angle vectors."""
+    axis = np.array([0.0, 0.0, 1.0])
+    R_a = np_rodrigues((np.pi - 1e-3) * axis[None])
+    R_b = np_rodrigues(-(np.pi - 1e-3) * axis[None])  # same point +2e-3 geodesic
+    x_a = np.asarray(so3.mat_to_rot6d(jnp.asarray(R_a, jnp.float32)))
+    x_b = np.asarray(so3.mat_to_rot6d(jnp.asarray(R_b, jnp.float32)))
+    assert np.linalg.norm(x_a - x_b) < 0.01  # continuous in 6d
+    # ... while the axag coords are ~2*pi apart
+    assert np.linalg.norm((np.pi - 1e-3) * axis - (-(np.pi - 1e-3) * axis)) > 6
+
+
+def test_head_to_mat_dispatch(rng):
+    axag = rng.normal(size=(8, 3)).astype(np.float32)
+    R_ref = np.asarray(so3.exp_map(jnp.asarray(axag)))
+    assert np.allclose(
+        np.asarray(so3.head_to_mat(jnp.asarray(axag), "axag")), R_ref
+    )
+    x6 = so3.mat_to_rot6d(jnp.asarray(R_ref))
+    assert np.allclose(
+        np.asarray(so3.head_to_mat(x6, "6d")), R_ref, atol=1e-5
+    )
+    with pytest.raises(ValueError):
+        so3.head_to_mat(jnp.zeros((1, 3)), "euler")
+
+
+def test_rotation_error_mat_matches_axag_path(rng):
+    pred = rng.normal(size=(16, 3)).astype(np.float32)
+    label = rng.normal(size=(16, 3)).astype(np.float32)
+    mean_a, per_a = so3.rotation_error(jnp.asarray(pred), jnp.asarray(label))
+    mean_m, per_m = so3.rotation_error_mat(
+        so3.exp_map(jnp.asarray(pred)), jnp.asarray(label)
+    )
+    assert np.allclose(float(mean_a), float(mean_m), atol=1e-6)
+    assert np.allclose(np.asarray(per_a), np.asarray(per_m), atol=1e-6)

@@ -285,3 +285,65 @@ def test_real_data_train_step_and_encoder_transfer(obj_models):
     )
     assert max(jax.tree.leaves(enc_delta)) == 0.0  # encoder frozen
     assert max(jax.tree.leaves(head_delta)) > 0.0  # heads train
+
+
+def test_rot6d_head_train_step(obj_models):
+    """rot_rep='6d' (so3.rot6d_to_mat head): the step runs, the head emits
+    6 values, and the geodesic metrics stay well-defined."""
+    cfg = tiny_config()
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, rot_rep="6d")
+    )
+    model = make_model(cfg.model)
+    state = create_train_state(model, cfg, jax.random.key(0))
+    # head output dim follows the representation
+    x = np.zeros((2, cfg.model.num_point, 3 + NUM_CLASS), np.float32)
+    _, rot, _, _ = model.apply(
+        {"params": state.params, "batch_stats": state.batch_stats}, x
+    )
+    assert rot.shape == (2, 6)
+
+    step_fn = make_train_step(model, cfg, obj_models)
+    rng = np.random.default_rng(3)
+    new_state, metrics = step_fn(state, pose_batch(rng), jax.random.key(1))
+    assert np.isfinite(float(metrics["total_loss"]))
+    assert 0.0 <= float(metrics["axag_loss"]) <= np.pi + 1e-3
+    assert int(new_state.step) == 1
+
+
+def test_rot6d_head_loss_decreases(obj_models):
+    cfg = tiny_config()
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, rot_rep="6d")
+    )
+    model = make_model(cfg.model)
+    state = create_train_state(model, cfg, jax.random.key(0))
+    step_fn = make_train_step(model, cfg, obj_models)
+    rng = np.random.default_rng(5)
+    batch = pose_batch(rng)
+    losses = []
+    for i in range(30):
+        state, metrics = step_fn(state, batch, jax.random.key(42))
+        losses.append(float(metrics["total_loss"]))
+    assert losses[-1] < losses[0] * 0.7
+
+
+def test_rot6d_with_symmetry_loss(obj_models):
+    """6d head composes with the symmetry-aware rotation loss."""
+    from cloudaae_tpu import symmetry
+
+    cfg = tiny_config()
+    cfg = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(cfg.model, rot_rep="6d"),
+        loss=dataclasses.replace(cfg.loss, rot_sym=True),
+    )
+    model = make_model(cfg.model)
+    state = create_train_state(model, cfg, jax.random.key(0))
+    step_fn = make_train_step(model, cfg, obj_models)
+    rng = np.random.default_rng(7)
+    _, metrics = step_fn(state, pose_batch(rng), jax.random.key(1))
+    assert np.isfinite(float(metrics["total_loss"]))
+    # sym error is a min over a group containing identity: <= plain error
+    assert (float(metrics["axag_sym_loss"])
+            <= float(metrics["axag_loss"]) + 1e-5)
