@@ -57,34 +57,6 @@ def restore(ckpt_dir: str, target: Any, step: int | None = None) -> Any:
         return ckptr.restore(path, target)
 
 
-def restore_any(path: str, target: Any, step: int | None = None) -> Any:
-    """Restore from an orbax ckpt dir OR a params ``.npz`` export.
-
-    The npz (see :func:`export_params`) carries no optimizer state; the
-    target's opt_state is kept as-is (fresh) — fine for eval/inference and
-    for warm-start finetunes.  Accepts the npz file itself, or a run dir
-    containing ``params_latest.npz``.
-    """
-    import dataclasses
-
-    npz = None
-    if os.path.isfile(path) and path.endswith(".npz"):
-        npz = path
-    elif os.path.isdir(path) and os.path.isfile(
-        os.path.join(path, "params_latest.npz")
-    ):
-        npz = os.path.join(path, "params_latest.npz")
-    if npz is None:
-        return restore(path, target, step)
-    params, batch_stats, loaded_step = load_params(npz)
-    return dataclasses.replace(
-        target,
-        params=params,
-        batch_stats=batch_stats,
-        step=np.asarray(loaded_step, dtype=np.int32),
-    )
-
-
 def export_params(state: Any, out_path: str) -> str:
     """Optimizer-state-free deploy artifact: one ``.npz`` of params +
     batch_stats + step (~1/3 of a full TrainState checkpoint — no Adam

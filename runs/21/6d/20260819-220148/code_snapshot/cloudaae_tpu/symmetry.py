@@ -275,16 +275,11 @@ def build_symmetry_table_cached(
     cache_dir = cache_dir or os.path.join(
         os.path.expanduser("~"), ".cache", "cloudaae_tpu"
     )
-    name = f"symtable-{h.hexdigest()[:16]}.npy"
-    path = os.path.join(cache_dir, name)
-    # read-only fallback: tables for the shipped model sets travel with
-    # the package (detection is minutes of CPU per fresh environment)
-    packaged = os.path.join(os.path.dirname(__file__), "_cache", name)
-    for cand in (path, packaged):
-        if os.path.exists(cand):
-            table = np.load(cand)
-            if table.shape == (pts.shape[0], max_syms, 3, 3):
-                return table
+    path = os.path.join(cache_dir, f"symtable-{h.hexdigest()[:16]}.npy")
+    if os.path.exists(path):
+        table = np.load(path)
+        if table.shape == (pts.shape[0], max_syms, 3, 3):
+            return table
     table = build_symmetry_table(
         pts, max_syms=max_syms, num_angles=num_angles, tol=tol
     )

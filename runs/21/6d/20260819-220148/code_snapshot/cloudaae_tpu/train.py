@@ -249,7 +249,7 @@ def main(argv=None):
     key = jax.random.key(cfg.train.seed)
     state = create_train_state(model, cfg, key)
     if args.resume:
-        state = checkpoint.restore_any(args.resume, state)
+        state = checkpoint.restore(args.resume, state)
         log.log_string(f"resumed from {args.resume} at step {int(state.step)}")
     if args.transfer_encoder:
         src = checkpoint.restore(args.transfer_encoder, state)

@@ -67,7 +67,7 @@ def main():
     )
     model = make_model(cfg.model)
     state = create_train_state(model, cfg, jax.random.key(0))
-    state = checkpoint.restore(args.ckpt, state)
+    state = checkpoint.restore_any(args.ckpt, state)
     step = int(state.step)
     print(f"evaluating checkpoint at step {step}", flush=True)
 

@@ -76,7 +76,7 @@ def main():
     )
     model = make_model(cfg.model)
     state = create_train_state(model, cfg, jax.random.key(0))
-    state = checkpoint.restore(args.ckpt, state)
+    state = checkpoint.restore_any(args.ckpt, state)
     print(f"checkpoint step {int(state.step)}", flush=True)
     eval_step = make_eval_step(model, cfg, obj_models)
 

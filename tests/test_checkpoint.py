@@ -162,3 +162,27 @@ def test_export_params_roundtrip_and_predictor(tmp_path, model_and_vars):
     Rb, tb = b(segs, cls)
     assert np.array_equal(np.asarray(Ra), np.asarray(Rb))
     assert np.array_equal(np.asarray(ta), np.asarray(tb))
+
+
+def test_restore_any_dispatch(tmp_path, model_and_vars):
+    """restore_any: npz file, run dir holding params_latest.npz, and a
+    plain orbax dir all restore params/batch_stats/step identically."""
+    cfg, model, _ = model_and_vars
+    state = create_train_state(model, cfg, jax.random.key(2))
+    fresh = create_train_state(model, cfg, jax.random.key(3))
+
+    run_dir = tmp_path / "run"
+    os.makedirs(run_dir)
+    npz = checkpoint.export_params(state, str(run_dir / "params_latest"))
+    ckpt_dir = tmp_path / "ckpt"
+    checkpoint.save(str(ckpt_dir), state, 7)
+
+    for src in (npz, str(run_dir), str(ckpt_dir)):
+        got = checkpoint.restore_any(src, fresh)
+        want = dict(flax_paths(jax.device_get(state.params)))
+        have = dict(flax_paths(jax.device_get(got.params)))
+        assert set(want) == set(have)
+        for path in want:
+            assert np.array_equal(
+                np.asarray(want[path]), np.asarray(have[path])
+            ), (src, path)

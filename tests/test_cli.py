@@ -44,6 +44,14 @@ def test_train_cli_two_steps(tmp_path):
     # a checkpoint was written and is restorable via --resume
     ckpts = list((run / "ckpt").iterdir())
     assert len(ckpts) == 1
+    # the per-epoch survival artifact: params npz next to the run logs
+    from cloudaae_tpu import checkpoint
+
+    params, batch_stats, step = checkpoint.load_params(
+        str(run / "params_latest.npz")
+    )
+    assert step == 2
+    assert params and batch_stats
 
     state2 = train.main(
         [
