@@ -60,23 +60,39 @@ def restore(ckpt_dir: str, target: Any, step: int | None = None) -> Any:
 def restore_any(path: str, target: Any, step: int | None = None) -> Any:
     """Restore from an orbax ckpt dir OR a params ``.npz`` export.
 
-    The npz (see :func:`export_params`) carries no optimizer state; the
-    target's opt_state is kept as-is (fresh) — fine for eval/inference and
-    for warm-start finetunes.  Accepts the npz file itself, or a run dir
-    containing ``params_latest.npz``.
+    Resolution order for a directory ``path``: a full orbax checkpoint
+    (``path`` itself holding ``step_*`` dirs, or ``path/ckpt``) wins — it
+    carries optimizer state, so ``--resume`` keeps its Adam moments.  Only
+    when no orbax checkpoint exists does the ``params_latest.npz`` survival
+    artifact load, and then the target's opt_state is kept as-is (fresh) —
+    fine for eval/inference and warm-start finetunes, and logged as such.
     """
     import dataclasses
+    import logging
 
     npz = None
     if os.path.isfile(path) and path.endswith(".npz"):
         npz = path
-    elif os.path.isdir(path) and os.path.isfile(
-        os.path.join(path, "params_latest.npz")
-    ):
-        npz = os.path.join(path, "params_latest.npz")
+    elif os.path.isdir(path):
+        if latest_step(path) is not None:
+            return restore(path, target, step)
+        sub = os.path.join(path, "ckpt")
+        if latest_step(sub) is not None:
+            return restore(sub, target, step)
+        if os.path.isfile(os.path.join(path, "params_latest.npz")):
+            npz = os.path.join(path, "params_latest.npz")
     if npz is None:
         return restore(path, target, step)
     params, batch_stats, loaded_step = load_params(npz)
+    if step is not None and loaded_step != step:
+        raise ValueError(
+            f"requested step {step} but {npz} holds step {loaded_step} "
+            "(npz exports keep only the latest params)"
+        )
+    logging.getLogger(__name__).warning(
+        "restoring params-only npz %s (step %d): optimizer state reset",
+        npz, loaded_step,
+    )
     return dataclasses.replace(
         target,
         params=params,
@@ -105,7 +121,12 @@ def export_params(state: Any, out_path: str) -> str:
     flat["step"] = np.asarray(int(state.step), np.int64)
     if not out_path.endswith(".npz"):
         out_path += ".npz"
-    np.savez_compressed(out_path, **flat)
+    # atomic: a mid-write interruption must not leave a truncated npz that
+    # restore_any would then pick up (np.savez appends .npz to paths that
+    # lack it, so the tmp name must already end in .npz)
+    tmp = out_path + ".tmp.npz"
+    np.savez_compressed(tmp, **flat)
+    os.replace(tmp, out_path)
     return out_path
 
 

@@ -454,11 +454,86 @@ def evaluate_frames_batched(
     return _result_from_acc(acc)
 
 
+def evaluate_converted(
+    samples,
+    state,
+    model,
+    cfg: Config,
+    obj_models: np.ndarray,
+    icp: bool = False,
+    chunk: int = 64,
+    sym_rots: np.ndarray | None = None,
+) -> EvalResult:
+    """Evaluate converted FPS512 records (data.linemod.load_converted).
+
+    The LINEMOD analogue of :func:`evaluate_frames_batched` — the eval
+    protocol of ``evaluate_cloudAAE_ycbv.py:649-656`` applied to the
+    converter's output records (linemod_to_tfrecord_small.py:189-249):
+    each record already carries a camera-frame FPS512 segment + GT pose, so
+    the pipeline is FPS to ``cfg.eval.num_point`` -> model forward ->
+    trans/geodesic errors + ADD/ADD-S vs the class object model (+ optional
+    on-device ICP against the full 512-point segment).
+
+    ``obj_models`` must use the record's class-id space — for LINEMOD, the
+    13-class table from ``data.linemod.convert_object_models``.
+    """
+    import itertools
+
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    fwd_raw = make_eval_forward(model, cfg, obj_models, icp, jit=False,
+                                sym_rots=sym_rots)
+    num_point = cfg.eval.num_point
+
+    def one(xyz, cls, axag_gt, trans_gt, key):
+        k1, k2 = jax.random.split(key)
+        idx = farthest_point_sample(num_point, xyz, key=k1)
+        full_mask = jnp.ones(xyz.shape[0], bool)
+        quat = so3.axag_to_quat(axag_gt)
+        return fwd_raw(variables, xyz[idx], xyz, full_mask, cls, quat,
+                       trans_gt, k2)
+
+    fwd_batch = jax.jit(jax.vmap(one))
+
+    acc: dict[str, list] = {k: [] for k in
+                            ("trans_err", "axag_err", "axag_sym_err",
+                             "add", "add_s", "diam")}
+    key = jax.random.key(0)
+    it = iter(samples)
+    while True:
+        ss = list(itertools.islice(it, chunk))
+        if not ss:
+            break
+        xyz = jnp.asarray(np.stack([s.xyz for s in ss]).astype(np.float32))
+        cls = jnp.asarray(np.asarray([s.class_id for s in ss], np.int32))
+        axag = jnp.asarray(
+            np.stack([s.axisangle for s in ss]).astype(np.float32)
+        )
+        tgt = jnp.asarray(
+            np.stack([s.translation for s in ss]).astype(np.float32)
+        )
+        key, k = jax.random.split(key)
+        host = jax.device_get(
+            fwd_batch(xyz, cls, axag, tgt, jax.random.split(k, len(ss)))
+        )
+        acc["trans_err"].extend(np.asarray(host["trans_err"], float))
+        acc["axag_err"].extend(np.asarray(host["axag_err"], float))
+        acc["axag_sym_err"].extend(np.asarray(host["axag_sym_err"], float))
+        acc["add"].extend(np.asarray(host["add"], float))
+        acc["add_s"].extend(np.asarray(host["add_s"], float))
+        acc["diam"].extend(np.asarray(host["diameter"], float))
+    return _result_from_acc(acc)
+
+
 def get_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__)
     general = p.add_argument_group("general")
-    general.add_argument("--model", default="dgcnn_mean_6d")
-    general.add_argument("--num-point", type=int, default=256)
+    general.add_argument("--model", default=None,
+                         help="model preset override; by default the run "
+                              "dir's archived config.json decides (falls "
+                              "back to dgcnn_mean_6d when none exists)")
+    general.add_argument("--num-point", type=int, default=None,
+                         help="segment size fed to the network; defaults "
+                              "to the trained model's num_point")
     general.add_argument("--target-cls", type=int, default=9)
     general.add_argument("--trained-model", required=False, default=None,
                          help="checkpoint dir (orbax) to evaluate")
@@ -466,6 +541,15 @@ def get_parser() -> argparse.ArgumentParser:
     general.add_argument("--data-dir", default=None,
                          help="directory with {seq:04d}_pcnn.tfrecord files")
     general.add_argument("--sequences", type=int, nargs="*", default=None)
+    general.add_argument("--converted-records", nargs="*", default=None,
+                         help="converted FPS512 tfrecords "
+                              "(data.linemod converter output); evaluates "
+                              "per class over all given files")
+    general.add_argument("--object-models", default=None,
+                         help="object-model tfrecord override (e.g. the "
+                              "13-class LINEMOD table from "
+                              "data.linemod.convert_object_models); "
+                              "default: the YCB table under --data-root")
     p.add_argument("--batch-size", type=int, default=1)
     p.add_argument("--icp", action="store_true")
     p.add_argument("--synthetic", type=int, default=0,
@@ -484,22 +568,76 @@ def main(argv=None):
     args = get_parser().parse_args(argv)
     # rebuild the trained model's exact config (rot_rep, dtype, ...) from
     # the run dir's archived config.json when evaluating a checkpoint
-    run_dir = (os.path.dirname(os.path.abspath(args.trained_model.rstrip("/")))
-               if args.trained_model else "")
+    run_dir = ""
+    if args.trained_model:
+        tm = os.path.abspath(args.trained_model.rstrip("/"))
+        # accept the run dir itself, its ckpt/ dir, or a params npz
+        run_dir = (tm if os.path.isfile(os.path.join(tm, "config.json"))
+                   else os.path.dirname(tm))
+    model_name = args.model
     if run_dir and os.path.exists(os.path.join(run_dir, "config.json")):
         from cloudaae_tpu.config import config_from_run_dir
 
         cfg = config_from_run_dir(run_dir)
+        # the archived config already names the trained architecture; only
+        # an explicit CLI --model overrides it (never the CLI default)
     else:
         cfg = Config()
-    obj_models = load_object_models(
-        os.path.join(args.data_root, "object_model_tfrecord/obj_models.tfrecords")
+        model_name = model_name or "dgcnn_mean_6d"
+    # the eval segment size must match the trained decoder width; an
+    # explicit --num-point overrides (e.g. plain-AE variants)
+    import dataclasses
+
+    num_point = args.num_point or cfg.model.num_point
+    cfg = dataclasses.replace(
+        cfg,
+        eval=dataclasses.replace(
+            cfg.eval, num_point=num_point,
+            min_valid_points=min(cfg.eval.min_valid_points, num_point),
+        ),
     )
-    model = make_model(cfg.model, name=args.model)
+    obj_models = load_object_models(
+        args.object_models
+        or os.path.join(
+            args.data_root, "object_model_tfrecord/obj_models.tfrecords"
+        )
+    )
+    model = make_model(cfg.model, name=model_name)
     state = create_train_state(model, cfg, jax.random.key(0))
     if args.trained_model:
-        state = checkpoint.restore(args.trained_model, state)
+        state = checkpoint.restore_any(args.trained_model, state)
         print(f"restored {args.trained_model} at step {int(state.step)}")
+
+    if args.converted_records:
+        from cloudaae_tpu.data import linemod
+
+        by_cls: dict[int, list] = {}
+        for path in args.converted_records:
+            for s in linemod.load_converted(path):
+                by_cls.setdefault(s.class_id, []).append(s)
+        results: dict[int, EvalResult] = {}
+        for cls in sorted(by_cls):
+            res = evaluate_converted(
+                by_cls[cls], state, model, cfg, obj_models,
+                icp=args.icp, chunk=args.chunk,
+            )
+            results[cls] = res
+            print(
+                f"class {cls:2d} frames {res.frames:4d} "
+                f"trans_loss {res.trans_err:.6f} axag_loss {res.axag_err:.6f} "
+                f"ADD {res.add:.6f} ADD-S {res.add_s:.6f} "
+                f"ADD<0.1d {res.add_01d:.3f} ADD-S<0.1d {res.add_s_01d:.3f}"
+            )
+        valid = [r for r in results.values() if r.frames]
+        if valid:
+            print(
+                f"mean over {len(valid)} classes: "
+                f"trans_loss {np.mean([r.trans_err for r in valid]):.6f} "
+                f"axag_loss {np.mean([r.axag_err for r in valid]):.6f} "
+                f"ADD<0.1d {np.mean([r.add_01d for r in valid]):.3f} "
+                f"ADD-S<0.1d {np.mean([r.add_s_01d for r in valid]):.3f}"
+            )
+        return results
 
     if args.synthetic:
         rng = np.random.default_rng(0)

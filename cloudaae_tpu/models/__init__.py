@@ -8,6 +8,6 @@ ceremony.
 """
 
 from cloudaae_tpu.models.layers import Dense, EmaBatchNorm, PointMLP
-from cloudaae_tpu.models.dgcnn import CloudAAE, make_model
+from cloudaae_tpu.models.dgcnn import CloudAAE, apply_preset, make_model
 
-__all__ = ["Dense", "EmaBatchNorm", "PointMLP", "CloudAAE", "make_model"]
+__all__ = ["Dense", "EmaBatchNorm", "PointMLP", "CloudAAE", "apply_preset", "make_model"]

@@ -37,7 +37,7 @@ import jax
 import jax.numpy as jnp
 
 from cloudaae_tpu.config import ModelConfig
-from cloudaae_tpu.models.layers import Dense, EmaBatchNorm
+from cloudaae_tpu.models.layers import Dense, EmaBatchNorm, EmaBatchNormAffine
 from cloudaae_tpu.ops.knn import gather_rows, knn_indices, pairwise_sq_dist
 
 
@@ -58,6 +58,7 @@ class _SplitEdgeKernel(nn.Module):
 
     features: int
     dtype: jnp.dtype | None = None
+    raw: bool = False  # return (kernel, bias) for fused kernels
 
     @nn.compact
     def __call__(self, x: jnp.ndarray):
@@ -66,6 +67,8 @@ class _SplitEdgeKernel(nn.Module):
             "kernel", nn.initializers.glorot_uniform(), (2 * c, self.features)
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        if self.raw:
+            return kernel, bias
         if self.dtype is not None:
             x = x.astype(self.dtype)
             kernel = kernel.astype(self.dtype)
@@ -118,6 +121,43 @@ class _EdgeConv(nn.Module):
         return nn.relu(pre)
 
 
+class _FusedEdgeConv(nn.Module):
+    """One-kernel edge conv + BN + relu + mean (ops.edgeconv_pallas).
+
+    Identical parameter tree to ``_EdgeConv`` + mean aggregation (the
+    submodules 'dense' and 'bn' carry the same names, shapes, and inits),
+    so checkpoints move freely between the fused and XLA paths.  Training
+    computes the BN batch moments with a first VMEM pass
+    (edge_conv_moments); autodiff through the moments -> affine -> apply
+    chain reproduces the full batch-norm gradient.
+    """
+
+    features: int
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x, nn_idx, train: bool, momentum):
+        from cloudaae_tpu.ops.edgeconv_pallas import (
+            edge_conv_mean, edge_conv_moments,
+        )
+
+        kernel, bias = _SplitEdgeKernel(
+            self.features, self.dtype, raw=True, name="dense"
+        )(x)
+        cdt = str(self.dtype) if self.dtype is not None else "float32"
+        if train:
+            s1, s2 = edge_conv_moments(x, kernel, bias, nn_idx, cdt)
+            count = x.shape[0] * x.shape[1] * nn_idx.shape[-1]
+            mean = jnp.sum(s1, axis=0) / count
+            var = jnp.sum(s2, axis=0) / count - jnp.square(mean)
+        else:
+            mean = var = None
+        scale, shift = EmaBatchNormAffine(self.features, name="bn")(
+            mean, var, train, momentum
+        )
+        return edge_conv_mean(x, kernel, bias, scale, shift, nn_idx, cdt)
+
+
 class EdgeConvBlock(nn.Module):
     """kNN -> edge features -> 1x1 conv -> mean/max over neighbors.
 
@@ -125,7 +165,8 @@ class EdgeConvBlock(nn.Module):
     neighborhoods come from the first 3 channels of the *current* features
     (utils/tf_util.py:608), edge features are concat(center, nbr - center).
     The conv is applied in split-linear form (see _SplitEdgeKernel) — exact
-    same math, k-fold fewer MACs.
+    same math, k-fold fewer MACs.  With ``fused=True`` (mean aggregation
+    only) the whole post-kNN chain runs as one Pallas kernel.
     """
 
     features: int
@@ -133,6 +174,7 @@ class EdgeConvBlock(nn.Module):
     aggregation: str = "mean"
     dtype: jnp.dtype | None = None
     knn_approx_recall: float | None = None
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool, momentum) -> jnp.ndarray:
@@ -142,6 +184,10 @@ class EdgeConvBlock(nn.Module):
             pairwise_sq_dist(x.astype(jnp.float32)), self.k,
             approx_recall=self.knn_approx_recall,
         )
+        if self.fused and self.aggregation == "mean":
+            return _FusedEdgeConv(self.features, self.dtype, name="conv")(
+                x, idx, train, momentum
+            )
         ef = _EdgeConv(self.features, self.dtype, name="conv")(
             x, idx, train, momentum
         )
@@ -158,11 +204,15 @@ class DGCNNEncoder(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool, momentum):
         dtype = _dtype_of(self.cfg)
+        fused = self.cfg.edgeconv_fused
+        if fused is None:  # auto: fused Pallas path on accelerators
+            fused = jax.default_backend() != "cpu"
+        fused = fused and self.cfg.aggregation == "mean"
         feats = []
         for i, f in enumerate(self.cfg.edge_conv_channels):
             x = EdgeConvBlock(
                 f, self.cfg.k_neighbor, self.cfg.aggregation, dtype=dtype,
-                knn_approx_recall=self.cfg.knn_approx_recall,
+                knn_approx_recall=self.cfg.knn_approx_recall, fused=fused,
                 name=f"dgcnn{i+1}",
             )(x, train, momentum)
             feats.append(x)
@@ -303,11 +353,22 @@ _PRESETS: dict[str, dict] = {
 }
 
 
+def apply_preset(cfg: ModelConfig, name: str) -> ModelConfig:
+    """Fold a preset's architecture fields into a ModelConfig.
+
+    Train-time configs must pass through this so the run dir's archived
+    config.json records the true architecture (aggregation, heads, vae,
+    ...), not just the preset name — evaluation rebuilds the model from
+    that file alone.
+    """
+    if name not in _PRESETS:
+        raise ValueError(f"unknown model '{name}'; have {sorted(_PRESETS)}")
+    return dataclasses.replace(cfg, name=name, **_PRESETS[name])
+
+
 def make_model(cfg: ModelConfig | None = None, name: str | None = None) -> CloudAAE:
     """Build a model by preset name (see module docstring) or config."""
     cfg = cfg or ModelConfig()
     if name is not None:
-        if name not in _PRESETS:
-            raise ValueError(f"unknown model '{name}'; have {sorted(_PRESETS)}")
-        cfg = dataclasses.replace(cfg, name=name, **_PRESETS[name])
+        cfg = apply_preset(cfg, name)
     return CloudAAE(cfg)

@@ -93,6 +93,12 @@ def get_parser() -> argparse.ArgumentParser:
                             "continuous Gram-Schmidt representation "
                             "(so3.rot6d_to_mat) — use with "
                             "--generate-poses for full-SO(3) coverage")
+    hyper.add_argument("--edgeconv-fused", default="auto",
+                       choices=["auto", "on", "off"],
+                       help="fused Pallas edge-conv kernels "
+                            "(ops.edgeconv_pallas): 'auto' enables them on "
+                            "TPU backends; an implementation choice, not "
+                            "an architecture change")
     hyper.add_argument("--learning-rate", type=float, default=8e-4)
     hyper.add_argument("--hpr-iters", type=int, default=8)
     hyper.add_argument("--dp", type=int, default=-1)
@@ -106,6 +112,7 @@ def get_parser() -> argparse.ArgumentParser:
 
 def config_from_args(args) -> Config:
     from cloudaae_tpu.config import LINEMOD_NUM_CLASS
+    from cloudaae_tpu.models import apply_preset
 
     cfg = Config()
     num_class = (
@@ -122,10 +129,16 @@ def config_from_args(args) -> Config:
             hpr_iters=args.hpr_iters,
             dataset=args.dataset,
         ),
+        # apply_preset folds the preset's architecture fields in, so the
+        # archived config.json alone rebuilds the exact trained model
         model=dataclasses.replace(
-            cfg.model, num_point=args.num_point, name=args.model,
+            apply_preset(cfg.model, args.model),
+            num_point=args.num_point,
             compute_dtype=args.compute_dtype, num_class=num_class,
             rot_rep=args.rot_rep,
+            edgeconv_fused={"auto": None, "on": True, "off": False}[
+                args.edgeconv_fused
+            ],
         ),
         loss=dataclasses.replace(cfg.loss, rot_sym=args.sym_loss),
         train=dataclasses.replace(
@@ -245,7 +258,7 @@ def main(argv=None):
     mesh = make_mesh(cfg.train.dp, cfg.train.tp)
     log.log_string(f"mesh: {mesh}")
 
-    model = make_model(cfg.model, name=args.model)
+    model = make_model(cfg.model)  # preset already folded into cfg.model
     key = jax.random.key(cfg.train.seed)
     state = create_train_state(model, cfg, key)
     if args.resume:

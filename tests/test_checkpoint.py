@@ -179,10 +179,61 @@ def test_restore_any_dispatch(tmp_path, model_and_vars):
 
     for src in (npz, str(run_dir), str(ckpt_dir)):
         got = checkpoint.restore_any(src, fresh)
-        want = dict(flax_paths(jax.device_get(state.params)))
-        have = dict(flax_paths(jax.device_get(got.params)))
-        assert set(want) == set(have)
-        for path in want:
-            assert np.array_equal(
-                np.asarray(want[path]), np.asarray(have[path])
-            ), (src, path)
+        for attr in ("params", "batch_stats"):
+            want = dict(flax_paths(jax.device_get(getattr(state, attr))))
+            have = dict(flax_paths(jax.device_get(getattr(got, attr))))
+            assert set(want) == set(have)
+            for path in want:
+                assert np.array_equal(
+                    np.asarray(want[path]), np.asarray(have[path])
+                ), (src, attr, path)
+        assert int(got.step) == int(state.step), src
+
+
+def test_restore_any_prefers_orbax_over_npz(tmp_path, model_and_vars):
+    """A run dir holding BOTH <run>/ckpt (orbax) and params_latest.npz must
+    restore the full orbax TrainState (opt_state intact) — the npz is only
+    the survival fallback (ADVICE round 2, checkpoint.py:73)."""
+    import dataclasses
+
+    cfg, model, _ = model_and_vars
+    state_a = create_train_state(model, cfg, jax.random.key(4))
+    state_b = create_train_state(model, cfg, jax.random.key(5))
+    fresh = create_train_state(model, cfg, jax.random.key(6))
+
+    run_dir = tmp_path / "run"
+    os.makedirs(run_dir)
+    checkpoint.save(str(run_dir / "ckpt"), state_a, 11)
+    checkpoint.export_params(
+        dataclasses.replace(state_b, step=jnp.asarray(99, jnp.int32)),
+        str(run_dir / "params_latest"),
+    )
+
+    got = checkpoint.restore_any(str(run_dir), fresh)
+    a0 = np.asarray(jax.tree.leaves(jax.device_get(state_a.params))[0])
+    g0 = np.asarray(jax.tree.leaves(jax.device_get(got.params))[0])
+    assert np.array_equal(a0, g0)  # orbax (state_a) won, not the npz
+    assert int(got.step) == int(state_a.step)
+
+
+def test_restore_any_npz_step_mismatch_raises(tmp_path, model_and_vars):
+    """Requesting a specific step from an npz that holds a different step
+    must fail loudly (ADVICE round 2, checkpoint.py:60)."""
+    cfg, model, _ = model_and_vars
+    state = create_train_state(model, cfg, jax.random.key(7))
+    npz = checkpoint.export_params(state, str(tmp_path / "params"))
+    with pytest.raises(ValueError, match="requested step"):
+        checkpoint.restore_any(npz, state, step=int(state.step) + 123)
+
+
+def test_export_params_is_atomic(tmp_path, model_and_vars):
+    """export_params leaves no .tmp sibling and overwrites in place."""
+    cfg, model, _ = model_and_vars
+    state = create_train_state(model, cfg, jax.random.key(8))
+    out = checkpoint.export_params(state, str(tmp_path / "params_latest"))
+    out2 = checkpoint.export_params(state, out)  # overwrite path ends in .npz
+    assert out == out2
+    leftovers = [f for f in os.listdir(tmp_path) if ".tmp" in f]
+    assert leftovers == []
+    params, _, step = checkpoint.load_params(out)
+    assert step == int(state.step) and params

@@ -124,6 +124,48 @@ def test_evaluate_cli_synthetic(capsys, extra):
 
 
 @pytest.mark.skipif(not HAVE_REF, reason="reference data absent")
+def test_evaluate_nondefault_variant_no_flags(tmp_path):
+    """A non-default architecture run must evaluate with NO extra flags:
+    the run dir's archived config.json decides the model, never the CLI
+    --model default (VERDICT round 2 #4, evaluate.py footgun)."""
+    from cloudaae_tpu import evaluate, train
+
+    train.main(
+        [
+            "--data-root", REF,
+            "--model", "dgcnn_max_6d",
+            "--classes", "2",
+            "--batch-size", "8",
+            "--num-point", "64",
+            "--hpr-iters", "4",
+            "--max-steps", "1",
+            "--max-epoch", "1",
+            "--log-every", "1",
+            "--log-dir", str(tmp_path / "log"),
+        ]
+    )
+    run = next((tmp_path / "log" / "21" / "6d").iterdir())
+    archived = json.loads((run / "config.json").read_text())["model"]
+    assert archived["name"] == "dgcnn_max_6d"
+    # the preset's architecture fields must be folded into the archive,
+    # not just its name — eval rebuilds the model from this file alone
+    assert archived["aggregation"] == "max"
+    # ckpt dir, run dir, and npz spellings all work without --model
+    for target in (str(run / "ckpt"), str(run),
+                   str(run / "params_latest.npz")):
+        res = evaluate.main(
+            [
+                "--trained-model", target,
+                "--synthetic", "1",
+                "--target-cls", "2",
+                "--num-point", "64",
+                "--data-root", REF,
+            ]
+        )
+        assert res.frames == 1
+
+
+@pytest.mark.skipif(not HAVE_REF, reason="reference data absent")
 def test_visualize_cli(tmp_path):
     pytest.importorskip("matplotlib")
     from cloudaae_tpu import visualize
@@ -131,6 +173,27 @@ def test_visualize_cli(tmp_path):
     out = str(tmp_path / "s.png")
     visualize.main(["--out", out, "--class-id", "3", "--data-root", REF])
     assert os.path.getsize(out) > 5000
+
+
+@pytest.mark.skipif(not HAVE_REF, reason="reference data absent")
+def test_visualize_ply_html_export(tmp_path):
+    """Interactive-viz exports: colored PLY (read back via read_ply) and a
+    self-contained HTML orbit viewer — the headless-host equivalents of the
+    reference's open3d windows (evaluate_cloudAAE_ycbv.py:571-603)."""
+    from cloudaae_tpu import visualize
+    from cloudaae_tpu.data.linemod import read_ply
+
+    ply = str(tmp_path / "s.ply")
+    visualize.main(["--out", ply, "--class-id", "3", "--data-root", REF])
+    xyz, rgb = read_ply(ply)
+    assert len(xyz) > 2048  # model + occluder + input + target
+    assert 0.0 <= rgb.min() and rgb.max() <= 1.0
+
+    html = str(tmp_path / "s.html")
+    visualize.main(["--out", html, "--class-id", "3", "--data-root", REF])
+    body = open(html).read()
+    assert "drag to orbit" in body and '"pts"' in body
+    assert "http" not in body  # self-contained: no external fetches
 
 
 def test_linemod_cli_help():

@@ -179,3 +179,30 @@ def test_synthesize_one_model_rows_only_matches_full(obj_models):
     assert np.array_equal(
         np.asarray(on["target_points"]), np.asarray(off["target_points"])
     )
+
+
+def test_generate_pose_table_uses_dataset_camera():
+    """The on-device pose sampler (--generate-poses) must sample from the
+    frustum of the dataset being trained (VERDICT round 2 #7): YCBV near/far
+    = 0.5/1.0, LINEMOD = 0.4/1.5 (utils/generate_occluder.py:40-51).  Eval
+    pose sources share sample_pose, so pinning the camera pins both."""
+    from cloudaae_tpu.config import LINEMOD_CAMERA, YCBV_CAMERA
+    from cloudaae_tpu.train import config_from_args, generate_pose_table, get_parser
+
+    for dataset, cam in (("ycbv", YCBV_CAMERA), ("linemod", LINEMOD_CAMERA)):
+        args = get_parser().parse_args(
+            ["--dataset", dataset, "--generate-poses"]
+        )
+        cfg = config_from_args(args)
+        assert cfg.synth.camera == cam, dataset
+        table = generate_pose_table(cfg, 512, seed=0)
+        z = table["translation"][:, 2]
+        # in_frustum_translation snaps out-of-image samples to the frustum
+        # middle; everything lies within ~4 sigma of [near, far]
+        zmin, zmax = float(z.min()), float(z.max())
+        span = (cam.far - cam.near)
+        assert zmin > cam.near - 0.6 * span, (dataset, zmin)
+        assert zmax < cam.far + 0.6 * span, (dataset, zmax)
+        mid = (cam.far + cam.near) / 2.0
+        assert abs(float(z.mean()) - mid) < 0.1 * span, dataset
+        assert table["class_id"].max() < cfg.model.num_class
