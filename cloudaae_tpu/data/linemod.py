@@ -279,6 +279,106 @@ def load_converted(path: str) -> Iterator[LinemodSample]:
         yield parse_sample(payload)
 
 
+def read_ply(path: str) -> tuple[np.ndarray, np.ndarray]:
+    """Read vertices (+ per-vertex colors when present) from a PLY mesh.
+
+    Supports ascii and binary_little_endian — the two formats
+    LINEMOD_preprocessed ships its ``models/obj_{cls:02d}.ply`` meshes in.
+    Returns (xyz float64 (V, 3), rgb float64 (V, 3) in [0, 1]; rgb is ones
+    when the file carries no color).  Faces are ignored: the pose pipeline
+    consumes point clouds (object model schema, SURVEY.md §2.9).
+    """
+    _SIZES = {"char": "i1", "uchar": "u1", "short": "i2", "ushort": "u2",
+              "int": "i4", "uint": "u4", "float": "f4", "double": "f8",
+              "int8": "i1", "uint8": "u1", "int16": "i2", "uint16": "u2",
+              "int32": "i4", "uint32": "u4", "float32": "f4", "float64": "f8"}
+    with open(path, "rb") as f:
+        if f.readline().strip() != b"ply":
+            raise ValueError(f"{path}: not a PLY file")
+        fmt = None
+        n_vertex = 0
+        props: list[tuple[str, str]] = []
+        in_vertex = False
+        while True:
+            line = f.readline()
+            if not line:
+                raise ValueError(f"{path}: unterminated PLY header")
+            parts = line.decode("ascii", "replace").strip().split()
+            if not parts:
+                continue
+            if parts[0] == "format":
+                fmt = parts[1]
+            elif parts[0] == "element":
+                in_vertex = parts[1] == "vertex"
+                if in_vertex:
+                    n_vertex = int(parts[2])
+            elif parts[0] == "property" and in_vertex:
+                if parts[1] == "list":
+                    raise ValueError(f"{path}: list property on vertices")
+                props.append((parts[2], _SIZES[parts[1]]))
+            elif parts[0] == "end_header":
+                break
+        names = [n for n, _ in props]
+        if fmt == "ascii":
+            rows = np.loadtxt(
+                (f.readline() for _ in range(n_vertex)),
+                dtype=np.float64, ndmin=2,
+            )
+            cols = {n: rows[:, i] for i, (n, _) in enumerate(props)}
+        elif fmt == "binary_little_endian":
+            dt = np.dtype([(n, "<" + s) for n, s in props])
+            raw = np.frombuffer(f.read(n_vertex * dt.itemsize), dtype=dt)
+            cols = {n: raw[n].astype(np.float64) for n in names}
+        else:
+            raise ValueError(f"{path}: unsupported PLY format {fmt}")
+    xyz = np.stack([cols["x"], cols["y"], cols["z"]], axis=1)
+    if {"red", "green", "blue"} <= set(names):
+        rgb = np.stack([cols["red"], cols["green"], cols["blue"]], axis=1)
+        if rgb.max() > 1.0:
+            rgb = rgb / 255.0
+    else:
+        rgb = np.ones_like(xyz)
+    return xyz, rgb
+
+
+def convert_object_models(
+    root: str,
+    out_path: str,
+    num_points: int = 2048,
+    classes: list[int] | None = None,
+    seed: int = 0,
+) -> np.ndarray:
+    """LINEMOD ``models/obj_{cls:02d}.ply`` meshes -> the YCB object-model
+    tfrecord schema ({label, model[num_points, 6]}, SURVEY.md §2.9) so the
+    whole eval/synthesis stack consumes LINEMOD models unchanged.
+
+    Vertices are FPS-downsampled (np_fps, the converter's own sampler) to
+    ``num_points`` and converted mm -> m (LINEMOD plys are millimeter-unit,
+    same convention as read_pose's cam_t_m2c :38).  Returns the stacked
+    (13, num_points, 6) array and writes the tfrecord.
+    """
+    from cloudaae_tpu.data.ycb import write_object_models
+
+    rng = np.random.default_rng(seed)
+    models = []
+    for linemod_cls in classes or LINEMOD_CLASS_IDS:
+        xyz, rgb = read_ply(
+            os.path.join(root, "models", f"obj_{linemod_cls:02d}.ply")
+        )
+        xyz = xyz * 0.001
+        if len(xyz) >= num_points:
+            idx = np_fps(xyz, num_points, rng)
+        else:  # sparse mesh: resample with replacement to the fixed size
+            idx = np.concatenate(
+                [np.arange(len(xyz)),
+                 rng.integers(0, len(xyz), num_points - len(xyz))]
+            )
+        models.append(np.concatenate([xyz[idx], rgb[idx]], axis=1))
+    stacked = np.stack(models).astype(np.float32)
+    write_object_models(out_path, stacked)
+    return stacked
+
+
 def main(argv=None):
     import argparse
 
@@ -288,20 +388,35 @@ def main(argv=None):
     )
     p.add_argument("--root", required=True,
                    help="Linemod_preprocessed directory")
-    p.add_argument("--out-dir", required=True)
+    p.add_argument("--out-dir", default=None,
+                   help="frame-record output dir (required unless "
+                        "--skip-frames)")
     p.add_argument("--split", default="test", choices=["train", "test"])
     p.add_argument("--data-source", type=int, default=1)
     p.add_argument("--classes", type=int, nargs="*", default=None,
                    help="LINEMOD class ids (1..15, minus 3 and 7)")
     p.add_argument("--seg-results-dir", default=None,
                    help="segnet_results dir for test-split masks")
+    p.add_argument("--object-models", default=None,
+                   help="also convert models/obj_XX.ply meshes to a "
+                        "YCB-schema object-model tfrecord at this path")
+    p.add_argument("--skip-frames", action="store_true",
+                   help="only convert object models, not frame records")
     args = p.parse_args(argv)
-    counts = convert_dataset(
-        args.root, args.out_dir, args.split, args.data_source,
-        args.classes, args.seg_results_dir,
-    )
-    for cls0, n in sorted(counts.items()):
-        print(f"class {cls0}: {n} records")
+    if args.object_models:
+        models = convert_object_models(
+            args.root, args.object_models, classes=args.classes
+        )
+        print(f"object models: {models.shape} -> {args.object_models}")
+    if not args.skip_frames:
+        if not args.out_dir:
+            p.error("--out-dir is required unless --skip-frames")
+        counts = convert_dataset(
+            args.root, args.out_dir, args.split, args.data_source,
+            args.classes, args.seg_results_dir,
+        )
+        for cls0, n in sorted(counts.items()):
+            print(f"class {cls0}: {n} records")
 
 
 if __name__ == "__main__":

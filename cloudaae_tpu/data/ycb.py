@@ -23,15 +23,18 @@ from cloudaae_tpu.data import tfrecord
 
 
 def load_object_models(path: str) -> np.ndarray:
-    """Load obj_models.tfrecords -> (num_class, 2048, 6) float32, label-sorted.
+    """Load obj_models.tfrecords -> (num_class, P, 6) float32, label-sorted.
 
-    Mirrors ``read_and_decode_obj_model`` (train_cloudAAE_ycbv.py:42-54).
+    Mirrors ``read_and_decode_obj_model`` (train_cloudAAE_ycbv.py:42-54);
+    P = 2048 for the shipped YCB table, but the schema itself fixes only
+    the 6 xyz+rgb columns, so smaller tables (e.g. LINEMOD conversions,
+    test fixtures) load with the same reader.
     """
     models: list[tuple[int, np.ndarray]] = []
     for payload in tfrecord.iter_tfrecord(path):
         ex = tfrecord.parse_example(payload)
         label = int(ex["label"].int64_list[0])
-        model = ex["model"].float_list.reshape(2048, 6)
+        model = ex["model"].float_list.reshape(-1, 6)
         models.append((label, model))
     models.sort(key=lambda kv: kv[0])
     return np.stack([m for _, m in models]).astype(np.float32)
