@@ -177,6 +177,14 @@ class ModelConfig:
     # trajectory matches exact top-k (total 3.758 vs 3.712, xyz identical,
     # axag 1.868 vs 1.875) while the step drops 62.1 -> 59.9 ms.
     knn_approx_recall: float | None = 0.95
+    # Fused Pallas edge-conv: the per-edge (gather -> BN affine -> relu ->
+    # mean-over-k) chain of every EdgeConv block runs in one VMEM-resident
+    # kernel (ops.edgeconv_pallas) instead of materializing the (B, N, k, F)
+    # edge tensor / one-hot gather operand in HBM.  None = auto (on for TPU
+    # backends with aggregation='mean', off on CPU); an implementation
+    # choice, not an architecture change — parameter trees and checkpoints
+    # are identical either way.
+    edgeconv_fused: bool | None = None
     # Rotation-head representation: 'axag' = 3-vector axis-angle (the
     # reference's head, models/pointnet_ycb_23_decoder_4.py:443-449); '6d' =
     # continuous 6D representation (Zhou et al. CVPR 2019, Gram-Schmidt in

@@ -65,6 +65,52 @@ class EmaBatchNorm(nn.Module):
         return (x - mean) * (inv * scale) + bias
 
 
+class EmaBatchNormAffine(nn.Module):
+    """EmaBatchNorm with externally computed batch moments.
+
+    Parameter/variable tree is IDENTICAL to :class:`EmaBatchNorm` (scale,
+    bias params; batch_stats mean/var), so checkpoints are interchangeable
+    between the two.  Used by fused kernels (ops.edgeconv_pallas) that
+    reduce the batch statistics themselves: instead of normalizing a
+    materialized tensor, it returns the folded per-channel affine
+    ``(gamma/sqrt(var+eps), beta - mean*that)`` and performs the same EMA
+    fold-in as EmaBatchNorm.
+
+    ``batch_mean``/``batch_var`` may be None when ``train=False`` (running
+    statistics are used, as in EmaBatchNorm's eval branch).
+    """
+
+    features: int
+    epsilon: float = 1e-3
+
+    @nn.compact
+    def __call__(self, batch_mean, batch_var, train: bool, momentum):
+        c = self.features
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((c,), jnp.float32)
+        )
+
+        if train:
+            mean, var = batch_mean, batch_var
+            if not self.is_initializing() and self.is_mutable_collection(
+                "batch_stats"
+            ):
+                m = jnp.asarray(momentum, jnp.float32)
+                ra_mean.value = m * ra_mean.value + (1 - m) * mean
+                ra_var.value = m * ra_var.value + (1 - m) * var
+        else:
+            mean, var = ra_mean.value, ra_var.value
+
+        inv = jnp.reciprocal(jnp.sqrt(var + self.epsilon))
+        eff_scale = inv * scale
+        return eff_scale, bias - mean * eff_scale
+
+
 class Dense(nn.Module):
     """Dense + optional EMA-BN + activation.
 
