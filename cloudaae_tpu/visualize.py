@@ -45,13 +45,122 @@ def plot_clouds(panels, out_path: str, title: str = "") -> None:
     plt.close(fig)
 
 
+_COLOR_RGB = {
+    "C0": (31, 119, 180), "C1": (255, 127, 14), "C2": (44, 160, 44),
+    "C3": (214, 39, 40), "C4": (148, 103, 189), "C5": (140, 86, 75),
+    "gray": (127, 127, 127), "red": (214, 39, 40), "green": (44, 160, 44),
+    "blue": (31, 119, 180), "orange": (255, 127, 14), "black": (0, 0, 0),
+}
+
+
+def export_ply(out_path: str, clouds) -> None:
+    """Write labeled point clouds to one colored ascii PLY.
+
+    ``clouds``: [(points (N,3), color_name, label), ...].  The file opens in
+    any 3D viewer (meshlab, open3d, blender) — the portable stand-in for the
+    reference's interactive open3d windows
+    (evaluate_cloudAAE_ycbv.py:571-603) on a headless TPU host.  Readable
+    back via data.linemod.read_ply.
+    """
+    rows = []
+    for pts, color, _ in clouds:
+        rgb = _COLOR_RGB.get(color, (127, 127, 127))
+        for p in np.asarray(pts, np.float64):
+            rows.append((p[0], p[1], p[2], *rgb))
+    with open(out_path, "w") as f:
+        f.write("ply\nformat ascii 1.0\n")
+        f.write(f"element vertex {len(rows)}\n")
+        f.write("property float x\nproperty float y\nproperty float z\n")
+        f.write("property uchar red\nproperty uchar green\n"
+                "property uchar blue\nend_header\n")
+        for x, y, z, r, g, b in rows:
+            f.write(f"{x:.6f} {y:.6f} {z:.6f} {r} {g} {b}\n")
+
+
+_HTML_VIEWER = """<!doctype html><meta charset="utf-8">
+<title>{title}</title>
+<style>body{{margin:0;background:#111;color:#eee;font:13px sans-serif}}
+#hud{{position:fixed;top:8px;left:8px}}</style>
+<canvas id="c"></canvas><div id="hud">{title} — drag to orbit, wheel to
+zoom<br>{legend}</div>
+<script>
+const CLOUDS={clouds_json};
+const cv=document.getElementById("c"),ctx=cv.getContext("2d");
+let rx=-1.2,ry=0,zoom=1,cx=0,cy=0,cz=0,n=0;
+for(const c of CLOUDS)for(const p of c.pts){{cx+=p[0];cy+=p[1];cz+=p[2];n++}}
+cx/=n;cy/=n;cz/=n;
+let scale=0;for(const c of CLOUDS)for(const p of c.pts)
+  scale=Math.max(scale,Math.hypot(p[0]-cx,p[1]-cy,p[2]-cz));
+function draw(){{
+  cv.width=innerWidth;cv.height=innerHeight;
+  const s=Math.min(cv.width,cv.height)*0.45*zoom/scale;
+  const ca=Math.cos(rx),sa=Math.sin(rx),cb=Math.cos(ry),sb=Math.sin(ry);
+  const pts=[];
+  for(const c of CLOUDS)for(const p of c.pts){{
+    let x=p[0]-cx,y=p[1]-cy,z=p[2]-cz;
+    let x1=cb*x+sb*z, z1=-sb*x+cb*z;
+    let y2=ca*y-sa*z1, z2=sa*y+ca*z1;
+    pts.push([x1*s+cv.width/2, y2*s+cv.height/2, z2, c.color]);
+  }}
+  pts.sort((a,b)=>a[2]-b[2]);
+  ctx.fillStyle="#111";ctx.fillRect(0,0,cv.width,cv.height);
+  for(const [px,py,,col] of pts){{ctx.fillStyle=col;
+    ctx.fillRect(px-1,py-1,2.4,2.4);}}
+}}
+let drag=null;
+cv.onmousedown=e=>drag=[e.clientX,e.clientY];
+window.onmouseup=()=>drag=null;
+window.onmousemove=e=>{{if(!drag)return;
+  ry+=(e.clientX-drag[0])*0.01;rx+=(e.clientY-drag[1])*0.01;
+  drag=[e.clientX,e.clientY];draw();}};
+cv.onwheel=e=>{{zoom*=e.deltaY<0?1.1:0.9;draw();e.preventDefault();}};
+window.onresize=draw;draw();
+</script>
+"""
+
+
+def export_html(out_path: str, clouds, title: str = "cloudaae") -> None:
+    """Self-contained interactive HTML point-cloud viewer (no network, no
+    dependencies): orbit with the mouse, zoom with the wheel.  The
+    TPU-host-friendly replacement for open3d's draw_geometries windows."""
+    import json
+
+    payload = []
+    for pts, color, label in clouds:
+        rgb = _COLOR_RGB.get(color, (127, 127, 127))
+        payload.append(
+            {
+                "pts": np.asarray(pts, np.float32).round(5).tolist(),
+                "color": "rgb(%d,%d,%d)" % rgb,
+                "label": label,
+            }
+        )
+    legend = " · ".join(
+        f'<span style="color:rgb{_COLOR_RGB.get(c, (127, 127, 127))}">'
+        f"{lab}</span>"
+        for _, c, lab in clouds
+    )
+    with open(out_path, "w") as f:
+        f.write(
+            _HTML_VIEWER.format(
+                title=title,
+                legend=legend,
+                clouds_json=json.dumps(payload),
+            )
+        )
+
+
 def render_synth_sample(
     obj_models: np.ndarray,
     class_id: int,
     out_path: str,
     seed: int = 0,
 ) -> None:
-    """Synthesize one sample and render its stages side by side."""
+    """Synthesize one sample and render its stages side by side.
+
+    ``out_path`` extension picks the format: .png (matplotlib panels),
+    .ply (colored cloud for any mesh viewer), or .html (self-contained
+    interactive orbit viewer)."""
     import jax
     import jax.numpy as jnp
 
@@ -68,6 +177,18 @@ def render_synth_sample(
     from cloudaae_tpu import so3
 
     posed = so3.transform_points(jnp.asarray(obj_models[class_id, :, :3]), rot, trans)
+    if out_path.endswith(".ply") or out_path.endswith(".html"):
+        clouds = [
+            (np.asarray(posed), "green", "posed model"),
+            (np.asarray(out["occluder"]), "blue", "occluder"),
+            (np.asarray(out["input_points"]), "red", "network input"),
+            (np.asarray(out["target_points"]), "C4", "recon target"),
+        ]
+        if out_path.endswith(".ply"):
+            export_ply(out_path, clouds)
+        else:
+            export_html(out_path, clouds, title=f"synth class {class_id}")
+        return
     plot_clouds(
         [
             (
