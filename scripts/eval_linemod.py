@@ -1,0 +1,174 @@
+"""LINEMOD section for RESULTS.md: converted-record eval of a trained run.
+
+Real LINEMOD_preprocessed data is not present in this environment, so the
+records are synthesized sim-to-sim with the exact converted-record schema
+(linemod_to_tfrecord_small.py:189-249): per class, LINEMOD-frustum poses
+(synth.sample_pose with the LINEMOD camera), the posed object model put
+through hidden-point removal (the single-view self-occlusion the real
+depth camera produces), sensor noise, and FPS to 512 points — then the
+standard converted-record eval path (evaluate.evaluate_converted:
+load -> FPS to num_point -> model -> ADD/ADD-S).  With a real
+LINEMOD_preprocessed mount the same table regenerates from real frames
+via `python -m cloudaae_tpu.data.linemod` + `--converted-records`.
+
+    python scripts/eval_linemod.py --ckpt runs/13/6d/<stamp> \
+        [--frames 50] [--icp] [--out runs/sections/linemod.md]
+"""
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+LINEMOD_CLASS_NAMES = [
+    "ape", "benchvise", "camera", "can", "cat", "driller", "duck",
+    "eggbox", "glue", "holepuncher", "iron", "lamp", "phone",
+]
+
+
+def synth_records(obj_models, cfg, frames_per_class, seed, num_class):
+    """Sim-to-sim converted records: posed model -> HPR visible -> noise
+    -> FPS512, LINEMOD-frustum poses."""
+    import jax
+    import jax.numpy as jnp
+
+    from cloudaae_tpu import so3
+    from cloudaae_tpu.data.linemod import LinemodSample, NUM_POINT, np_fps
+    from cloudaae_tpu.ops import hidden_point_removal
+    from cloudaae_tpu.synth import sample_pose
+
+    rng = np.random.default_rng(seed)
+    key = jax.random.key(seed)
+    recs = []
+    for cls in range(num_class):
+        for frame in range(frames_per_class):
+            key, k_pose, k_hpr = jax.random.split(key, 3)
+            axag, rot, trans = sample_pose(k_pose, cfg.synth.camera)
+            posed = so3.transform_points(
+                jnp.asarray(obj_models[cls, :, :3]), rot, trans
+            )
+            vis, _, _ = hidden_point_removal(
+                posed, 1024, k_hpr, cfg.synth.hpr_param,
+                iters=cfg.synth.hpr_iters, slack=cfg.synth.hpr_slack,
+            )
+            pts = np.asarray(vis, np.float64)
+            pts += rng.normal(scale=cfg.synth.noise_sigma, size=pts.shape)
+            idx = np_fps(pts, NUM_POINT, rng)
+            R = np.asarray(rot, np.float64)
+            recs.append(
+                LinemodSample(
+                    class_id=cls,
+                    frame_id=frame,
+                    rotation_mat=R,
+                    axisangle=np.asarray(axag, np.float64),
+                    translation=np.asarray(trans, np.float64),
+                    num_valid_points_in_segment=len(pts),
+                    xyz=pts[idx],
+                    rgb=np.full((NUM_POINT, 3), 0.5),
+                    data_source=1,
+                )
+            )
+    return recs
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--ckpt", required=True,
+                   help="LINEMOD run dir / ckpt / params npz")
+    p.add_argument("--frames", type=int, default=50)
+    p.add_argument("--icp", action="store_true")
+    p.add_argument("--seed", type=int, default=11)
+    p.add_argument("--data-root", default="/root/reference")
+    p.add_argument("--object-models", default=None,
+                   help="object-model tfrecord (default: the run config's "
+                        "table — the YCB stand-in models for sim-to-sim)")
+    p.add_argument("--out", default=None,
+                   help="markdown section output path")
+    args = p.parse_args()
+
+    import jax
+
+    from cloudaae_tpu import checkpoint
+    from cloudaae_tpu.config import config_from_run_dir
+    from cloudaae_tpu.data import load_object_models
+    from cloudaae_tpu.evaluate import evaluate_converted
+    from cloudaae_tpu.models import make_model
+    from cloudaae_tpu.parallel.train_step import create_train_state
+
+    run_dir = args.ckpt
+    if not os.path.isfile(os.path.join(run_dir, "config.json")):
+        run_dir = os.path.dirname(os.path.abspath(args.ckpt.rstrip("/")))
+    cfg = config_from_run_dir(run_dir)
+    assert cfg.synth.dataset == "linemod", "not a LINEMOD run"
+
+    obj_models = load_object_models(
+        args.object_models or cfg.data.object_model_path
+    )[: cfg.model.num_class]
+    model = make_model(cfg.model)
+    state = create_train_state(model, cfg, jax.random.key(0))
+    state = checkpoint.restore_any(args.ckpt, state)
+    step = int(state.step)
+    print(f"evaluating LINEMOD run at step {step}", flush=True)
+
+    recs = synth_records(obj_models, cfg, args.frames, args.seed,
+                         cfg.model.num_class)
+    rows = []
+    for cls in range(cfg.model.num_class):
+        res = evaluate_converted(
+            [r for r in recs if r.class_id == cls],
+            state, model, cfg, obj_models, icp=args.icp,
+        )
+        rows.append((cls, res))
+        print(
+            f"class {cls:2d} {LINEMOD_CLASS_NAMES[cls]:12s} "
+            f"frames {res.frames:3d} trans {res.trans_err*100:.2f}cm "
+            f"rot {np.degrees(res.axag_err):.1f}deg "
+            f"ADD {res.add*100:.2f}cm ADD-S {res.add_s*100:.2f}cm "
+            f"ADD<0.1d {res.add_01d:.2f}",
+            flush=True,
+        )
+
+    valid = [r for _, r in rows if r.frames]
+    mean = lambda f: float(np.mean([f(r) for r in valid]))
+    out = args.out or "runs/sections/linemod.md"
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    with open(out, "w") as f:
+        f.write("# LINEMOD — converted-record eval (sim-to-sim)\n\n")
+        f.write(
+            f"Checkpoint: `{args.ckpt}` (step {step}).  Protocol: "
+            f"{args.frames} synthesized single-view FPS512 records per "
+            "class (LINEMOD frustum poses, HPR self-occlusion, sensor "
+            "noise; real LINEMOD_preprocessed is not mounted — object "
+            "models are the 13-class stand-in table from the run config), "
+            "evaluated through evaluate.evaluate_converted — the identical "
+            "path real converted records take.  ICP: "
+            f"{'on' if args.icp else 'off'}.\n\n"
+        )
+        f.write("| class | frames | trans (cm) | rot (deg) | ADD (cm) | "
+                "ADD-S (cm) | ADD<0.1d | ADD-S<0.1d |\n")
+        f.write("|---|---|---|---|---|---|---|---|\n")
+        for cls, r in rows:
+            f.write(
+                f"| {cls} {LINEMOD_CLASS_NAMES[cls]} | {r.frames} "
+                f"| {r.trans_err*100:.2f} | {np.degrees(r.axag_err):.1f} "
+                f"| {r.add*100:.2f} | {r.add_s*100:.2f} "
+                f"| {r.add_01d:.2f} | {r.add_s_01d:.2f} |\n"
+            )
+        f.write(
+            f"| **mean** | | **{mean(lambda r: r.trans_err)*100:.2f}** "
+            f"| **{np.degrees(mean(lambda r: r.axag_err)):.1f}** "
+            f"| **{mean(lambda r: r.add)*100:.2f}** "
+            f"| **{mean(lambda r: r.add_s)*100:.2f}** "
+            f"| **{mean(lambda r: r.add_01d):.2f}** "
+            f"| **{mean(lambda r: r.add_s_01d):.2f}** |\n"
+        )
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()
