@@ -7,7 +7,21 @@ axis — on TPU they compile to the same MXU matmuls without the conv
 ceremony.
 """
 
-from cloudaae_tpu.models.layers import Dense, EmaBatchNorm, PointMLP
+from cloudaae_tpu.models.layers import (
+    ConvND,
+    ConvTranspose2D,
+    Dense,
+    Dropout,
+    EmaBatchNorm,
+    EmaBatchNormAffine,
+    PointMLP,
+    avg_pool,
+    max_pool,
+)
 from cloudaae_tpu.models.dgcnn import CloudAAE, apply_preset, make_model
 
-__all__ = ["Dense", "EmaBatchNorm", "PointMLP", "CloudAAE", "apply_preset", "make_model"]
+__all__ = [
+    "ConvND", "ConvTranspose2D", "Dense", "Dropout", "EmaBatchNorm",
+    "EmaBatchNormAffine", "PointMLP", "avg_pool", "max_pool",
+    "CloudAAE", "apply_preset", "make_model",
+]

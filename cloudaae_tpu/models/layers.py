@@ -148,6 +148,146 @@ class Dense(nn.Module):
         return x
 
 
+_CONV_DIMS = {
+    1: ("NWC", "WIO", "NWC"),
+    2: ("NHWC", "HWIO", "NHWC"),
+    3: ("NDHWC", "DHWIO", "NDHWC"),
+}
+
+
+class ConvND(nn.Module):
+    """1/2/3-D convolution + optional EMA-BN + activation, channels-last.
+
+    The native construction of ``tf_util.conv1d/conv2d/conv3d``
+    (utils/tf_util.py:53-365): xavier kernel, zero bias, the same
+    runtime-decay EMA batch norm, relu default.  No reference model uses
+    strides/padding beyond the defaults in anger, but the full surface is
+    here (kernel_size/strides tuples, SAME/VALID).
+    """
+
+    features: int
+    kernel_size: tuple[int, ...] = (1, 1)
+    strides: tuple[int, ...] | None = None
+    padding: str = "SAME"
+    use_bn: bool = True
+    activation: Callable | None = nn.relu
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False, momentum=0.9):
+        from jax import lax
+
+        nd = len(self.kernel_size)
+        kshape = (*self.kernel_size, x.shape[-1], self.features)
+        kernel = self.param("kernel", nn.initializers.glorot_uniform(), kshape)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        if self.dtype is not None:
+            x, kernel, bias = (a.astype(self.dtype) for a in (x, kernel, bias))
+        dn = lax.conv_dimension_numbers(x.shape, kshape, _CONV_DIMS[nd])
+        x = lax.conv_general_dilated(
+            x, kernel, self.strides or (1,) * nd, self.padding,
+            dimension_numbers=dn,
+        ) + bias
+        if self.use_bn:
+            x = EmaBatchNorm(name="bn")(
+                x.astype(jnp.float32), train=train, momentum=momentum
+            )
+            if self.dtype is not None:
+                x = x.astype(self.dtype)
+        if self.activation is not None:
+            x = self.activation(x)
+        return x
+
+
+class ConvTranspose2D(nn.Module):
+    """2-D transposed convolution + optional EMA-BN + activation.
+
+    ``tf_util.conv2d_transpose`` (utils/tf_util.py:182-259), including its
+    documented contract that conv2d(conv2d_transpose(a)) restores a's
+    spatial shape for SAME padding.
+    """
+
+    features: int
+    kernel_size: tuple[int, int] = (1, 1)
+    strides: tuple[int, int] = (1, 1)
+    padding: str = "SAME"
+    use_bn: bool = True
+    activation: Callable | None = nn.relu
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False, momentum=0.9):
+        from jax import lax
+
+        kshape = (*self.kernel_size, x.shape[-1], self.features)
+        kernel = self.param("kernel", nn.initializers.glorot_uniform(), kshape)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        if self.dtype is not None:
+            x, kernel, bias = (a.astype(self.dtype) for a in (x, kernel, bias))
+        x = lax.conv_transpose(
+            x, kernel, self.strides, self.padding,
+            dimension_numbers=_CONV_DIMS[2],
+        ) + bias
+        if self.use_bn:
+            x = EmaBatchNorm(name="bn")(
+                x.astype(jnp.float32), train=train, momentum=momentum
+            )
+            if self.dtype is not None:
+                x = x.astype(self.dtype)
+        if self.activation is not None:
+            x = self.activation(x)
+        return x
+
+
+def max_pool(x: jnp.ndarray, window: tuple[int, ...],
+             strides: tuple[int, ...] | None = None,
+             padding: str = "VALID") -> jnp.ndarray:
+    """Spatial max pool over the middle dims of a channels-last tensor
+    (tf_util.max_pool2d/3d, utils/tf_util.py:368-392,419-443)."""
+    from jax import lax
+
+    strides = strides or window
+    full_w = (1, *window, 1)
+    full_s = (1, *strides, 1)
+    return lax.reduce_window(x, -jnp.inf, lax.max, full_w, full_s, padding)
+
+
+def avg_pool(x: jnp.ndarray, window: tuple[int, ...],
+             strides: tuple[int, ...] | None = None,
+             padding: str = "VALID") -> jnp.ndarray:
+    """Spatial average pool (tf_util.avg_pool2d/3d,
+    utils/tf_util.py:393-418,444-467)."""
+    from jax import lax
+
+    strides = strides or window
+    full_w = (1, *window, 1)
+    full_s = (1, *strides, 1)
+    summed = lax.reduce_window(x, 0.0, lax.add, full_w, full_s, padding)
+    import numpy as np
+
+    return summed / float(np.prod(window))
+
+
+class Dropout(nn.Module):
+    """Inverted dropout with TF semantics: keep_prob, scale by 1/keep_prob
+    at train time, identity at eval (tf_util.dropout,
+    utils/tf_util.py:573-594 — appears only commented-out in the reference
+    models, models/pointnet_ycb_23_decoder_4.py:199)."""
+
+    keep_prob: float = 0.5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False):
+        if not train or self.keep_prob >= 1.0:
+            return x
+        import jax
+
+        keep = jax.random.bernoulli(
+            self.make_rng("dropout"), self.keep_prob, x.shape
+        )
+        return jnp.where(keep, x / self.keep_prob, 0.0)
+
+
 class PointMLP(nn.Module):
     """A stack of Dense(+BN+ReLU) blocks applied pointwise."""
 
