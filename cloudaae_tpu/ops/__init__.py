@@ -16,6 +16,7 @@ from cloudaae_tpu.ops.fps import farthest_point_sample
 from cloudaae_tpu.ops.gather import gather_point, prob_sample
 from cloudaae_tpu.ops.hpr import hidden_point_removal, spherical_flip
 from cloudaae_tpu.ops.knn import edge_feature, knn_indices, pairwise_sq_dist
+from cloudaae_tpu.ops.edgeconv_pallas import edge_conv_mean, edge_conv_moments
 from cloudaae_tpu.ops.outlier import radius_outlier_mask
 from cloudaae_tpu.ops.icp import icp_point_to_point
 from cloudaae_tpu.ops.mesh_sample import sample_mesh_surface, triangle_areas
@@ -29,6 +30,8 @@ __all__ = [
     "hidden_point_removal",
     "spherical_flip",
     "edge_feature",
+    "edge_conv_mean",
+    "edge_conv_moments",
     "knn_indices",
     "pairwise_sq_dist",
     "radius_outlier_mask",
