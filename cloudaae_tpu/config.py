@@ -183,7 +183,12 @@ class ModelConfig:
     # edge tensor / one-hot gather operand in HBM.  None = auto (on for TPU
     # backends with aggregation='mean', off on CPU); an implementation
     # choice, not an architecture change — parameter trees and checkpoints
-    # are identical either way.
+    # are identical either way.  Gated like compute_dtype on the real TPU
+    # (scripts/validate_fused.py, 300 fresh train steps): loss trajectory
+    # matches the XLA path (final total 3.056 vs 3.079, rel 0.7%); step
+    # 54.3 -> 53.1 ms at B=128 — the one-hot MXU gather it replaces was
+    # already near-free, so this is a memory-footprint win, not a large
+    # latency one.
     edgeconv_fused: bool | None = None
     # Rotation-head representation: 'axag' = 3-vector axis-angle (the
     # reference's head, models/pointnet_ycb_23_decoder_4.py:443-449); '6d' =

@@ -78,8 +78,8 @@ def _moments_kernel(x_ref, w_ref, b_ref, idx_ref, s1_ref, s2_ref, *, k, cdt):
         pre = (a + nbr - v).astype(jnp.float32)          # (N, F)
         s1 = s1 + jnp.sum(pre, axis=0, keepdims=True)
         s2 = s2 + jnp.sum(pre * pre, axis=0, keepdims=True)
-    s1_ref[...] = s1
-    s2_ref[...] = s2
+    s1_ref[0] = s1
+    s2_ref[0] = s2
 
 
 def _mean_kernel(x_ref, w_ref, b_ref, sc_ref, sh_ref, idx_ref, out_ref,
@@ -124,16 +124,16 @@ def _mean_bwd_kernel(x_ref, w_ref, b_ref, sc_ref, sh_ref, idx_ref, g_ref,
                                preferred_element_type=jnp.float32)
     ga_ref[0] = ga
     gv_ref[0] = gv
-    gsc_ref[...] = gsc
-    gsh_ref[...] = gsh
+    gsc_ref[0] = gsc
+    gsh_ref[0] = gsh
 
 
 def _moments_bwd_kernel(x_ref, w_ref, b_ref, idx_ref, gs1_ref, gs2_ref,
                         ga_ref, gv_ref, *, k, cdt):
     n = x_ref.shape[1]
     a, v = _split_conv(x_ref, w_ref, b_ref, cdt)
-    gs1 = gs1_ref[...]                                   # (1, F) f32
-    gs2 = gs2_ref[...]
+    gs1 = gs1_ref[0]                                     # (1, F) f32
+    gs2 = gs2_ref[0]
     f = a.shape[-1]
     ga = jnp.zeros((n, f), jnp.float32)
     gv = jnp.zeros((n, f), jnp.float32)
@@ -220,21 +220,26 @@ def _moments_impl(x, kernel, bias, nn_idx, compute_dtype):
     f = kernel.shape[-1]
     k = nn_idx.shape[-1]
     cdt = jnp.dtype(compute_dtype)
-    out = pl.pallas_call(
+    # Per-sample rows live as (B, 1, F) so each grid cell's block keeps its
+    # last two dims equal to the array's (the TPU lowering's tiling rule —
+    # a (1, F) block over a (B, F) array is rejected).
+    s1, s2 = pl.pallas_call(
         functools.partial(_moments_kernel, k=k, cdt=cdt),
         grid=(b,),
         in_specs=_specs(b, n, c, f, k),
         out_specs=(
-            pl.BlockSpec((1, f), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, f), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, f), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, f), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((b, f), jnp.float32),
-            jax.ShapeDtypeStruct((b, f), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, f), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, f), jnp.float32),
         ),
         interpret=_interpret(),
     )(x, kernel, bias.reshape(1, f), nn_idx.astype(jnp.int32))
-    return out
+    return s1.reshape(b, f), s2.reshape(b, f)
 
 
 def _moments_fwd(x, kernel, bias, nn_idx, compute_dtype):
@@ -250,13 +255,13 @@ def _moments_bwd(compute_dtype, res, g):
     f = kernel.shape[-1]
     k = nn_idx.shape[-1]
     cdt = jnp.dtype(compute_dtype)
-    per_b = lambda i: (i, 0)
+    per_b = lambda i: (i, 0, 0)
     ga, gv = pl.pallas_call(
         functools.partial(_moments_bwd_kernel, k=k, cdt=cdt),
         grid=(b,),
         in_specs=_specs(b, n, c, f, k) + [
-            pl.BlockSpec((1, f), per_b, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, f), per_b, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, f), per_b, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, f), per_b, memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((1, n, f), lambda i: (i, 0, 0),
@@ -270,7 +275,8 @@ def _moments_bwd(compute_dtype, res, g):
         ),
         interpret=_interpret(),
     )(x, kernel, bias.reshape(1, f), nn_idx.astype(jnp.int32),
-      gs1.astype(jnp.float32), gs2.astype(jnp.float32))
+      gs1.astype(jnp.float32).reshape(b, 1, f),
+      gs2.astype(jnp.float32).reshape(b, 1, f))
     g_x, g_kernel, g_bias = _point_grads_to_inputs(x, kernel, ga, gv, cdt)
     return g_x, g_kernel, g_bias, _int_zero(nn_idx)
 
@@ -336,14 +342,16 @@ def _mean_bwd(compute_dtype, res, g):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n, f), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, f), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, f), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, f), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, f), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((b, n, f), jnp.float32),
             jax.ShapeDtypeStruct((b, n, f), jnp.float32),
-            jax.ShapeDtypeStruct((b, f), jnp.float32),
-            jax.ShapeDtypeStruct((b, f), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, f), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, f), jnp.float32),
         ),
         interpret=_interpret(),
     )(x, kernel, bias.reshape(1, f),
@@ -353,8 +361,8 @@ def _mean_bwd(compute_dtype, res, g):
     g_x, g_kernel, g_bias = _point_grads_to_inputs(x, kernel, ga, gv, cdt)
     return (
         g_x, g_kernel, g_bias,
-        jnp.sum(gsc, axis=0).astype(scale.dtype),
-        jnp.sum(gsh, axis=0).astype(shift.dtype),
+        jnp.sum(gsc, axis=(0, 1)).astype(scale.dtype),
+        jnp.sum(gsh, axis=(0, 1)).astype(shift.dtype),
         _int_zero(nn_idx),
     )
 
