@@ -370,10 +370,10 @@ def evaluate_frames_batched(
     model,
     cfg: Config,
     obj_models: np.ndarray,
-    icp: bool = False,
+    icp: bool | str = False,
     chunk: int = 16,
     sym_rots: np.ndarray | None = None,
-) -> EvalResult:
+) -> EvalResult | tuple[EvalResult, EvalResult]:
     """Batched evaluation: frames are stacked and processed in vmapped
     chunks — one device program per chunk instead of two dispatches per
     frame (per-dispatch round trips dominate on tunneled backends).
@@ -385,12 +385,18 @@ def evaluate_frames_batched(
 
     ``frames`` may be any iterable (a generator streams frame decode
     against device compute); only one chunk is materialized at a time.
+
+    ``icp`` may be ``False``/``True`` or the string ``"both"``: "both"
+    runs the ICP-off and ICP-on forwards over the SAME preprocessed
+    frames (shared renders, shared segment extraction, shared RNG) and
+    returns an ``(off, on)`` tuple — the paired-column ablation protocol
+    (the reference treats ICP as its accuracy lever,
+    evaluate_cloudAAE_ycbv.py:606-642).
     """
     import itertools
 
     variables = {"params": state.params, "batch_stats": state.batch_stats}
-    fwd_raw = make_eval_forward(model, cfg, obj_models, icp, jit=False,
-                                sym_rots=sym_rots)
+    icp_modes = (False, True) if icp == "both" else (bool(icp),)
 
     frame_iter = (f for f in frames if f.class_one_hot[target_cls])
 
@@ -403,18 +409,24 @@ def evaluate_frames_batched(
         ),
         static_argnums=(),
     )
-    fwd_batch = jax.jit(
-        jax.vmap(
-            lambda seg, full, fmask, quat, tgt, k: fwd_raw(
-                variables, seg, full, fmask, jnp.asarray(target_cls),
-                quat, tgt, k,
+    fwd_batches = []
+    for mode in icp_modes:
+        fwd_raw = make_eval_forward(model, cfg, obj_models, mode, jit=False,
+                                    sym_rots=sym_rots)
+        fwd_batches.append(jax.jit(
+            jax.vmap(
+                lambda seg, full, fmask, quat, tgt, k, _f=fwd_raw: _f(
+                    variables, seg, full, fmask, jnp.asarray(target_cls),
+                    quat, tgt, k,
+                )
             )
-        )
-    )
+        ))
 
-    acc: dict[str, list] = {k: [] for k in
-                            ("trans_err", "axag_err", "axag_sym_err",
-                             "add", "add_s", "diam")}
+    accs = [
+        {k: [] for k in ("trans_err", "axag_err", "axag_sym_err",
+                         "add", "add_s", "diam")}
+        for _ in icp_modes
+    ]
     key = jax.random.key(0)
     while True:
         fs = list(itertools.islice(frame_iter, chunk))
@@ -435,23 +447,25 @@ def evaluate_frames_batched(
         )
         key, k1, k2 = jax.random.split(key, 3)
         pre = pre_batch(depth, label, intr, jax.random.split(k1, len(fs)))
-        out = fwd_batch(
-            pre["xyz_inlier"], pre["segment"], pre["seg_mask"],
-            quat, tgt, jax.random.split(k2, len(fs)),
-        )
         ok = np.asarray(pre["ok"])
-        host = jax.device_get(out)
-        for i in range(len(fs)):
-            if not ok[i]:
-                continue
-            acc["trans_err"].append(float(host["trans_err"][i]))
-            acc["axag_err"].append(float(host["axag_err"][i]))
-            acc["axag_sym_err"].append(float(host["axag_sym_err"][i]))
-            acc["add"].append(float(host["add"][i]))
-            acc["add_s"].append(float(host["add_s"][i]))
-            acc["diam"].append(float(host["diameter"][i]))
+        for acc, fwd_batch in zip(accs, fwd_batches):
+            out = fwd_batch(
+                pre["xyz_inlier"], pre["segment"], pre["seg_mask"],
+                quat, tgt, jax.random.split(k2, len(fs)),
+            )
+            host = jax.device_get(out)
+            for i in range(len(fs)):
+                if not ok[i]:
+                    continue
+                acc["trans_err"].append(float(host["trans_err"][i]))
+                acc["axag_err"].append(float(host["axag_err"][i]))
+                acc["axag_sym_err"].append(float(host["axag_sym_err"][i]))
+                acc["add"].append(float(host["add"][i]))
+                acc["add_s"].append(float(host["add_s"][i]))
+                acc["diam"].append(float(host["diameter"][i]))
 
-    return _result_from_acc(acc)
+    results = [_result_from_acc(a) for a in accs]
+    return tuple(results) if icp == "both" else results[0]
 
 
 def evaluate_converted(
@@ -460,10 +474,10 @@ def evaluate_converted(
     model,
     cfg: Config,
     obj_models: np.ndarray,
-    icp: bool = False,
+    icp: bool | str = False,
     chunk: int = 64,
     sym_rots: np.ndarray | None = None,
-) -> EvalResult:
+) -> EvalResult | tuple[EvalResult, EvalResult]:
     """Evaluate converted FPS512 records (data.linemod.load_converted).
 
     The LINEMOD analogue of :func:`evaluate_frames_batched` — the eval
@@ -476,27 +490,37 @@ def evaluate_converted(
 
     ``obj_models`` must use the record's class-id space — for LINEMOD, the
     13-class table from ``data.linemod.convert_object_models``.
+
+    ``icp="both"`` shares the record decode + FPS across an ICP-off and an
+    ICP-on forward and returns an ``(off, on)`` tuple, as in
+    :func:`evaluate_frames_batched`.
     """
     import itertools
 
     variables = {"params": state.params, "batch_stats": state.batch_stats}
-    fwd_raw = make_eval_forward(model, cfg, obj_models, icp, jit=False,
-                                sym_rots=sym_rots)
+    icp_modes = (False, True) if icp == "both" else (bool(icp),)
     num_point = cfg.eval.num_point
 
-    def one(xyz, cls, axag_gt, trans_gt, key):
-        k1, k2 = jax.random.split(key)
-        idx = farthest_point_sample(num_point, xyz, key=k1)
-        full_mask = jnp.ones(xyz.shape[0], bool)
-        quat = so3.axag_to_quat(axag_gt)
-        return fwd_raw(variables, xyz[idx], xyz, full_mask, cls, quat,
-                       trans_gt, k2)
+    fwd_batches = []
+    for mode in icp_modes:
+        fwd_raw = make_eval_forward(model, cfg, obj_models, mode, jit=False,
+                                    sym_rots=sym_rots)
 
-    fwd_batch = jax.jit(jax.vmap(one))
+        def one(xyz, cls, axag_gt, trans_gt, key, _f=fwd_raw):
+            k1, k2 = jax.random.split(key)
+            idx = farthest_point_sample(num_point, xyz, key=k1)
+            full_mask = jnp.ones(xyz.shape[0], bool)
+            quat = so3.axag_to_quat(axag_gt)
+            return _f(variables, xyz[idx], xyz, full_mask, cls, quat,
+                      trans_gt, k2)
 
-    acc: dict[str, list] = {k: [] for k in
-                            ("trans_err", "axag_err", "axag_sym_err",
-                             "add", "add_s", "diam")}
+        fwd_batches.append(jax.jit(jax.vmap(one)))
+
+    accs = [
+        {k: [] for k in ("trans_err", "axag_err", "axag_sym_err",
+                         "add", "add_s", "diam")}
+        for _ in icp_modes
+    ]
     key = jax.random.key(0)
     it = iter(samples)
     while True:
@@ -512,16 +536,18 @@ def evaluate_converted(
             np.stack([s.translation for s in ss]).astype(np.float32)
         )
         key, k = jax.random.split(key)
-        host = jax.device_get(
-            fwd_batch(xyz, cls, axag, tgt, jax.random.split(k, len(ss)))
-        )
-        acc["trans_err"].extend(np.asarray(host["trans_err"], float))
-        acc["axag_err"].extend(np.asarray(host["axag_err"], float))
-        acc["axag_sym_err"].extend(np.asarray(host["axag_sym_err"], float))
-        acc["add"].extend(np.asarray(host["add"], float))
-        acc["add_s"].extend(np.asarray(host["add_s"], float))
-        acc["diam"].extend(np.asarray(host["diameter"], float))
-    return _result_from_acc(acc)
+        for acc, fwd_batch in zip(accs, fwd_batches):
+            host = jax.device_get(
+                fwd_batch(xyz, cls, axag, tgt, jax.random.split(k, len(ss)))
+            )
+            acc["trans_err"].extend(np.asarray(host["trans_err"], float))
+            acc["axag_err"].extend(np.asarray(host["axag_err"], float))
+            acc["axag_sym_err"].extend(np.asarray(host["axag_sym_err"], float))
+            acc["add"].extend(np.asarray(host["add"], float))
+            acc["add_s"].extend(np.asarray(host["add_s"], float))
+            acc["diam"].extend(np.asarray(host["diameter"], float))
+    results = [_result_from_acc(a) for a in accs]
+    return tuple(results) if icp == "both" else results[0]
 
 
 def get_parser() -> argparse.ArgumentParser:

@@ -81,7 +81,10 @@ def main():
     p.add_argument("--ckpt", required=True,
                    help="LINEMOD run dir / ckpt / params npz")
     p.add_argument("--frames", type=int, default=50)
-    p.add_argument("--icp", action="store_true")
+    p.add_argument("--icp", nargs="?", const="on", default="off",
+                   choices=["off", "on", "both"],
+                   help="'both' evaluates the same records through the "
+                        "ICP-off and ICP-on forwards (paired columns)")
     p.add_argument("--seed", type=int, default=11)
     p.add_argument("--data-root", default="/root/reference")
     p.add_argument("--object-models", default=None,
@@ -117,23 +120,42 @@ def main():
 
     recs = synth_records(obj_models, cfg, args.frames, args.seed,
                          cfg.model.num_class)
+    icp_arg = {"off": False, "on": True, "both": "both"}[args.icp]
     rows = []
     for cls in range(cfg.model.num_class):
         res = evaluate_converted(
             [r for r in recs if r.class_id == cls],
-            state, model, cfg, obj_models, icp=args.icp,
+            state, model, cfg, obj_models, icp=icp_arg,
         )
-        rows.append((cls, res))
+        res, res_icp = res if args.icp == "both" else (res, None)
+        rows.append((cls, res, res_icp))
+        icp_str = (
+            f"  |  ICP: trans {res_icp.trans_err*100:.2f}cm "
+            f"rot {np.degrees(res_icp.axag_err):.1f}deg "
+            f"ADD {res_icp.add*100:.2f}cm ADD<0.1d {res_icp.add_01d:.2f}"
+            if res_icp is not None else ""
+        )
         print(
             f"class {cls:2d} {LINEMOD_CLASS_NAMES[cls]:12s} "
             f"frames {res.frames:3d} trans {res.trans_err*100:.2f}cm "
             f"rot {np.degrees(res.axag_err):.1f}deg "
             f"ADD {res.add*100:.2f}cm ADD-S {res.add_s*100:.2f}cm "
-            f"ADD<0.1d {res.add_01d:.2f}",
+            f"ADD<0.1d {res.add_01d:.2f}" + icp_str,
             flush=True,
         )
 
-    valid = [r for _, r in rows if r.frames]
+    valid = [r for _, r, _ in rows if r.frames]
+    valid_icp = [ri for _, r, ri in rows if r.frames and ri is not None]
+    mean_icp = lambda f: float(np.mean([f(r) for r in valid_icp]))
+
+    def res_dict(r):
+        return {
+            "frames": r.frames, "trans_cm": r.trans_err * 100,
+            "rot_deg": float(np.degrees(r.axag_err)),
+            "add_cm": r.add * 100, "add_s_cm": r.add_s * 100,
+            "add_01d": r.add_01d, "add_s_01d": r.add_s_01d,
+        }
+
     mean = lambda f: float(np.mean([f(r) for r in valid]))
     out = args.out or "runs/sections/linemod.md"
     os.makedirs(os.path.dirname(out), exist_ok=True)
@@ -147,25 +169,56 @@ def main():
             "models are the 13-class stand-in table from the run config), "
             "evaluated through evaluate.evaluate_converted — the identical "
             "path real converted records take.  ICP: "
-            f"{'on' if args.icp else 'off'}.\n\n"
+            f"{'paired off/on columns (same records)' if args.icp == 'both' else args.icp}.\n\n"
         )
+        icp_hdr = (" trans+ICP | rot+ICP | ADD+ICP | ADD<0.1d+ICP |"
+                   if args.icp == "both" else "")
         f.write("| class | frames | trans (cm) | rot (deg) | ADD (cm) | "
-                "ADD-S (cm) | ADD<0.1d | ADD-S<0.1d |\n")
-        f.write("|---|---|---|---|---|---|---|---|\n")
-        for cls, r in rows:
+                "ADD-S (cm) | ADD<0.1d | ADD-S<0.1d |" + icp_hdr + "\n")
+        f.write("|---|---|---|---|---|---|---|---|" +
+                ("---|---|---|---|" if args.icp == "both" else "") + "\n")
+        for cls, r, ri in rows:
+            icp_cell = (
+                f" {ri.trans_err*100:.2f} | {np.degrees(ri.axag_err):.1f} "
+                f"| {ri.add*100:.2f} | {ri.add_01d:.2f} |"
+                if ri is not None else ""
+            )
             f.write(
                 f"| {cls} {LINEMOD_CLASS_NAMES[cls]} | {r.frames} "
                 f"| {r.trans_err*100:.2f} | {np.degrees(r.axag_err):.1f} "
                 f"| {r.add*100:.2f} | {r.add_s*100:.2f} "
-                f"| {r.add_01d:.2f} | {r.add_s_01d:.2f} |\n"
+                f"| {r.add_01d:.2f} | {r.add_s_01d:.2f} |" + icp_cell + "\n"
             )
+        icp_mean = (
+            f" **{mean_icp(lambda r: r.trans_err)*100:.2f}** "
+            f"| **{np.degrees(mean_icp(lambda r: r.axag_err)):.1f}** "
+            f"| **{mean_icp(lambda r: r.add)*100:.2f}** "
+            f"| **{mean_icp(lambda r: r.add_01d):.2f}** |"
+            if args.icp == "both" else ""
+        )
         f.write(
             f"| **mean** | | **{mean(lambda r: r.trans_err)*100:.2f}** "
             f"| **{np.degrees(mean(lambda r: r.axag_err)):.1f}** "
             f"| **{mean(lambda r: r.add)*100:.2f}** "
             f"| **{mean(lambda r: r.add_s)*100:.2f}** "
             f"| **{mean(lambda r: r.add_01d):.2f}** "
-            f"| **{mean(lambda r: r.add_s_01d):.2f}** |\n"
+            f"| **{mean(lambda r: r.add_s_01d):.2f}** |" + icp_mean + "\n"
+        )
+    with open(os.path.splitext(out)[0] + ".json", "w") as jf:
+        json.dump(
+            {
+                "ckpt": args.ckpt, "step": step, "icp": args.icp,
+                "frames_per_class": args.frames,
+                "classes": {
+                    str(cls): {
+                        "name": LINEMOD_CLASS_NAMES[cls],
+                        "icp_off": res_dict(r),
+                        **({"icp_on": res_dict(ri)} if ri is not None else {}),
+                    }
+                    for cls, r, ri in rows
+                },
+            },
+            jf, indent=1,
         )
     print(f"wrote {out}")
 

@@ -27,7 +27,12 @@ def main():
     p.add_argument("--classes", type=int, nargs="*",
                    default=[0, 2, 4, 5, 9, 13, 15, 19])
     p.add_argument("--frames", type=int, default=25)
-    p.add_argument("--icp", action="store_true")
+    p.add_argument("--icp", nargs="?", const="on", default="off",
+                   choices=["off", "on", "both"],
+                   help="'both' runs ICP-off and ICP-on over the SAME "
+                        "rendered frames and writes a paired-column table "
+                        "(the ICP ablation the reference treats as its "
+                        "accuracy lever, evaluate_cloudAAE_ycbv.py:606-642)")
     p.add_argument("--out", default="RESULTS.md")
     p.add_argument("--data-root", default="/root/reference")
     p.add_argument("--pose-source", choices=["records", "uniform"],
@@ -118,24 +123,65 @@ def main():
                     rng=rng, depth_noise=0.002,
                 )
             )
+        icp_arg = {"off": False, "on": True, "both": "both"}[args.icp]
         res = evaluate_frames_batched(
-            frames, cls, state, model, cfg, obj_models, icp=args.icp,
+            frames, cls, state, model, cfg, obj_models, icp=icp_arg,
             sym_rots=sym_rots,
         )
-        rows.append((cls, res))
+        res, res_icp = res if args.icp == "both" else (res, None)
+        rows.append((cls, res, res_icp))
         sym_str = (f" rot-sym {np.degrees(res.axag_sym_err):.1f}deg"
                    if args.sym_metric else "")
+        icp_str = (
+            f"  |  ICP: trans {res_icp.trans_err*100:.2f}cm "
+            f"rot-sym {np.degrees(res_icp.axag_sym_err):.1f}deg "
+            f"ADD {res_icp.add*100:.2f}cm ADD-S {res_icp.add_s*100:.2f}cm"
+            if res_icp is not None else ""
+        )
         print(
             f"class {cls:2d} {YCB_CLASS_NAMES[cls]:24s} frames {res.frames:3d} "
             f"trans {res.trans_err*100:.2f}cm rot {np.degrees(res.axag_err):.1f}deg"
             f"{sym_str} "
             f"ADD {res.add*100:.2f}cm ADD-S {res.add_s*100:.2f}cm "
-            f"ADD<2cm {res.add_2cm:.2f} ADD-S<2cm {res.add_s_2cm:.2f}",
+            f"ADD<2cm {res.add_2cm:.2f} ADD-S<2cm {res.add_s_2cm:.2f}"
+            f"{icp_str}",
             flush=True,
         )
 
-    valid = [r for _, r in rows if r.frames > 0]
+    def res_dict(r):
+        return {
+            "frames": r.frames, "trans_cm": r.trans_err * 100,
+            "rot_deg": float(np.degrees(r.axag_err)),
+            "rot_sym_deg": float(np.degrees(r.axag_sym_err)),
+            "add_cm": r.add * 100, "add_s_cm": r.add_s * 100,
+            "add_2cm": r.add_2cm, "add_s_2cm": r.add_s_2cm,
+            "add_01d": r.add_01d, "add_s_01d": r.add_s_01d,
+            "add_auc": r.add_auc, "add_s_auc": r.add_s_auc,
+        }
+
+    # machine-readable dump next to the markdown (repro_results consumers)
+    with open(os.path.splitext(args.out)[0] + ".json", "w") as jf:
+        json.dump(
+            {
+                "ckpt": args.ckpt, "step": step,
+                "pose_source": args.pose_source, "icp": args.icp,
+                "frames_per_class": args.frames,
+                "classes": {
+                    str(cls): {
+                        "name": YCB_CLASS_NAMES[cls],
+                        "icp_off": res_dict(r),
+                        **({"icp_on": res_dict(ri)} if ri is not None else {}),
+                    }
+                    for cls, r, ri in rows
+                },
+            },
+            jf, indent=1,
+        )
+
+    valid = [r for _, r, _ in rows if r.frames > 0]
+    valid_icp = [ri for _, r, ri in rows if r.frames > 0 and ri is not None]
     mean = lambda f: float(np.mean([f(r) for r in valid]))
+    mean_icp = lambda f: float(np.mean([f(r) for r in valid_icp]))
     with open(args.out, "w") as f:
         f.write("# Round results — trained checkpoint evaluation\n\n")
         f.write(
@@ -146,27 +192,41 @@ def main():
         pose_note = (
             "poses drawn from the class's shipped pose records (the "
             "training pose prior — the reference's own eval protocol keeps "
-            "test poses in the real-scene pose distribution; uniformly "
-            "random SO(3) poses are OUT of that prior, see STATUS.md)"
+            "test poses in the real-scene pose distribution)"
             if args.pose_source == "records"
-            else "uniformly random SO(3) poses (out of the training prior)"
+            else "uniformly random SO(3) poses (out of the record-pose prior "
+            "— the capability the reference's fixed 381k-record table "
+            "cannot express, train_cloudAAE_ycbv.py:177)"
         )
         f.write(
             f"Protocol: full real-data eval pipeline on {args.frames} "
             "z-buffer-rendered frames per class (depth noise sigma 2 mm); "
             f"{pose_note}. ICP: "
-            f"{'on' if args.icp else 'off'}.\n\n"
+            f"{'paired off/on columns (same frames)' if args.icp == 'both' else args.icp}."
+            "\n\n"
         )
         sym_hdr = " rot-sym (deg) |" if args.sym_metric else ""
+        icp_hdr = (
+            " trans+ICP | rot-sym+ICP | ADD+ICP | ADD-S+ICP | ADD-S<2cm+ICP |"
+            " AUC-S+ICP |" if args.icp == "both" else ""
+        )
         f.write("| class | frames | trans (cm) | rot (deg) |" + sym_hdr +
                 " ADD (cm) | "
                 "ADD-S (cm) | ADD<2cm | ADD-S<2cm | ADD<0.1d | ADD-S<0.1d |"
-                " AUC | AUC-S |\n")
+                " AUC | AUC-S |" + icp_hdr + "\n")
         f.write("|---|---|---|---|" + ("---|" if args.sym_metric else "") +
-                "---|---|---|---|---|---|---|---|\n")
-        for cls, r in rows:
+                "---|---|---|---|---|---|---|---|" +
+                ("---|---|---|---|---|---|" if args.icp == "both" else "") +
+                "\n")
+        for cls, r, ri in rows:
             sym_cell = (f" {np.degrees(r.axag_sym_err):.1f} |"
                         if args.sym_metric else "")
+            icp_cell = (
+                f" {ri.trans_err*100:.2f} | {np.degrees(ri.axag_sym_err):.1f} "
+                f"| {ri.add*100:.2f} | {ri.add_s*100:.2f} "
+                f"| {ri.add_s_2cm:.2f} | {ri.add_s_auc:.3f} |"
+                if ri is not None else ""
+            )
             f.write(
                 f"| {cls} {YCB_CLASS_NAMES[cls]} | {r.frames} "
                 f"| {r.trans_err*100:.2f} | {np.degrees(r.axag_err):.1f} |"
@@ -174,11 +234,21 @@ def main():
                 f" {r.add*100:.2f} | {r.add_s*100:.2f} "
                 f"| {r.add_2cm:.2f} | {r.add_s_2cm:.2f} "
                 f"| {r.add_01d:.2f} | {r.add_s_01d:.2f} "
-                f"| {r.add_auc:.3f} | {r.add_s_auc:.3f} |\n"
+                f"| {r.add_auc:.3f} | {r.add_s_auc:.3f} |"
+                f"{icp_cell}\n"
             )
         sym_mean = (
             f" **{np.degrees(mean(lambda r: r.axag_sym_err)):.1f}** |"
             if args.sym_metric else ""
+        )
+        icp_mean = (
+            f" **{mean_icp(lambda r: r.trans_err)*100:.2f}** "
+            f"| **{np.degrees(mean_icp(lambda r: r.axag_sym_err)):.1f}** "
+            f"| **{mean_icp(lambda r: r.add)*100:.2f}** "
+            f"| **{mean_icp(lambda r: r.add_s)*100:.2f}** "
+            f"| **{mean_icp(lambda r: r.add_s_2cm):.2f}** "
+            f"| **{mean_icp(lambda r: r.add_s_auc):.3f}** |"
+            if args.icp == "both" else ""
         )
         f.write(
             f"| **mean** | | **{mean(lambda r: r.trans_err)*100:.2f}** "
@@ -191,14 +261,17 @@ def main():
             f"| **{mean(lambda r: r.add_01d):.2f}** "
             f"| **{mean(lambda r: r.add_s_01d):.2f}** "
             f"| **{mean(lambda r: r.add_auc):.3f}** "
-            f"| **{mean(lambda r: r.add_s_auc):.3f}** |\n"
+            f"| **{mean(lambda r: r.add_s_auc):.3f}** |"
+            f"{icp_mean}\n"
         )
         f.write(
             "\nNotes: rot (deg) is the geodesic angle to the single "
             "annotated GT pose; for symmetric objects (cans 0/5, "
             "wood_block 15, clamp 19, box 180-deg flips) it counts "
-            "symmetry-equivalent poses as errors, so ADD-S is the "
-            "meaningful metric there (PoseCNN/YCB protocol). Frames are "
+            "symmetry-equivalent poses as errors, so ADD-S and rot-sym are "
+            "the meaningful metrics there (PoseCNN/YCB protocol). '+ICP' "
+            "columns are the same frames refined by the on-device ICP "
+            "(cloudaae_tpu/ops/icp.py). Frames are "
             "densified z-buffer renders with hidden-surface culling "
             "(data/ycb_real.py render_frame) — without densification a "
             "2048-point splat render leaks ~55% back-surface pixels and "

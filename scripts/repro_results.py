@@ -28,32 +28,35 @@ FLAGSHIP = "runs/21/6d/20260820-052144/params_latest.npz"
 
 ALL_CLASSES = [str(c) for c in range(21)]
 
-# name -> (artifact, extra eval_trained args).  Each entry is one committed
+# The LINEMOD flagship: 13-class --dataset linemod --generate-poses
+# --rot-rep 6d --sym-loss run (see runs/13/6d/).  None until the first
+# LINEMOD run lands; repro then fails loudly on the missing artifact.
+LINEMOD_FLAGSHIP = "runs/13/6d/20260820-231626/params_latest.npz"
+
+# name -> (script, artifact, extra args).  Each entry is one committed
 # command; sections concatenate into RESULTS.md in this order.
 MANIFEST = [
+    # Each section renders its frames ONCE and evaluates them through the
+    # ICP-off and ICP-on forwards (paired columns, --icp both).
     (
         "ycb-records",
+        "scripts/eval_trained.py",
         FLAGSHIP,
         ["--classes", *ALL_CLASSES, "--frames", "50", "--sym-metric",
-         "--pose-source", "records"],
-    ),
-    (
-        "ycb-records-icp",
-        FLAGSHIP,
-        ["--classes", *ALL_CLASSES, "--frames", "50", "--sym-metric",
-         "--pose-source", "records", "--icp"],
+         "--pose-source", "records", "--icp", "both"],
     ),
     (
         "ycb-uniform",
+        "scripts/eval_trained.py",
         FLAGSHIP,
         ["--classes", *ALL_CLASSES, "--frames", "50", "--sym-metric",
-         "--pose-source", "uniform"],
+         "--pose-source", "uniform", "--icp", "both"],
     ),
     (
-        "ycb-uniform-icp",
-        FLAGSHIP,
-        ["--classes", *ALL_CLASSES, "--frames", "50", "--sym-metric",
-         "--pose-source", "uniform", "--icp"],
+        "linemod",
+        "scripts/eval_linemod.py",
+        LINEMOD_FLAGSHIP,
+        ["--frames", "50", "--icp", "both"],
     ),
 ]
 
@@ -64,12 +67,16 @@ def main():
                    help="2 classes x 4 frames smoke pass (writes nothing)")
     p.add_argument("--only", nargs="*", default=None,
                    help="section names to regenerate (default: all)")
+    p.add_argument("--assemble-only", action="store_true",
+                   help="skip re-running the eval commands; concatenate the "
+                        "existing section files (still verifies the "
+                        "committed artifacts exist)")
     p.add_argument("--out", default="RESULTS.md")
     p.add_argument("--sections-dir", default="runs/sections")
     args = p.parse_args()
 
     manifest = [m for m in MANIFEST if not args.only or m[0] in args.only]
-    missing = [a for _, a, _ in manifest
+    missing = [a for _, _, a, _ in manifest
                if not os.path.exists(os.path.join(REPO, a))]
     if missing:
         sys.exit(
@@ -80,8 +87,19 @@ def main():
         )
 
     os.makedirs(os.path.join(REPO, args.sections_dir), exist_ok=True)
+    if args.assemble_only:
+        sections = []
+        for name, _, _, _ in manifest:
+            section = os.path.join(args.sections_dir, f"{name}.md")
+            if not os.path.exists(os.path.join(REPO, section)):
+                sys.exit(f"missing section file {section}; run without "
+                         "--assemble-only to regenerate it")
+            sections.append((name, section))
+        _assemble(args, sections)
+        return
+
     sections = []
-    for name, artifact, extra in manifest:
+    for name, script, artifact, extra in manifest:
         section = os.path.join(args.sections_dir, f"{name}.md")
         if args.quick:  # shrink the workload, keep the artifact checks
             groups: list[list[str]] = []
@@ -93,9 +111,11 @@ def main():
             extra = [
                 tok for g in groups if g[0] not in ("--classes", "--frames")
                 for tok in g
-            ] + ["--classes", "2", "9", "--frames", "4"]
+            ] + ["--frames", "4"]
+            if name.startswith("ycb"):
+                extra += ["--classes", "2", "9"]
         cmd = [
-            sys.executable, "scripts/eval_trained.py",
+            sys.executable, script,
             "--ckpt", artifact, "--out", section, *extra,
         ]
         print("::", " ".join(cmd), flush=True)
@@ -106,6 +126,10 @@ def main():
         print("quick pass OK (RESULTS.md untouched)")
         return
 
+    _assemble(args, sections)
+
+
+def _assemble(args, sections):
     with open(os.path.join(REPO, args.out), "w") as f:
         f.write("# Results — regenerated by scripts/repro_results.py from "
                 "committed artifacts\n")

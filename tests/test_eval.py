@@ -364,3 +364,35 @@ def test_add_auc_closed_form():
     ) / 0.1
     assert abs(res.add_auc - auc_numeric) < 1e-3
     assert res.add_s_auc == res.add_auc
+
+
+def test_batched_eval_icp_both_pairs(obj_models):
+    """icp="both" returns (off, on) over the SAME preprocessed frames:
+    the off half must match a plain icp=False run exactly (shared RNG),
+    and the on half must match icp=True."""
+    from cloudaae_tpu.evaluate import evaluate_frames_batched
+
+    cfg = Config()
+    model = make_model(cfg.model)
+    state = create_train_state(model, cfg, jax.random.key(0))
+    rng = np.random.default_rng(21)
+    frames = []
+    for i in range(2):
+        _, R, t = make_pose(rng)
+        frames.append(
+            ycb_real.render_frame(obj_models, [4], R[None], t[None], frame_id=i)
+        )
+    off, on = evaluate_frames_batched(
+        frames, 4, state, model, cfg, obj_models, icp="both", chunk=2
+    )
+    assert off.frames == on.frames == 2
+    plain = evaluate_frames_batched(
+        frames, 4, state, model, cfg, obj_models, icp=False, chunk=2
+    )
+    icp_only = evaluate_frames_batched(
+        frames, 4, state, model, cfg, obj_models, icp=True, chunk=2
+    )
+    assert off.trans_err == pytest.approx(plain.trans_err, abs=1e-6)
+    assert off.add == pytest.approx(plain.add, abs=1e-6)
+    assert on.trans_err == pytest.approx(icp_only.trans_err, abs=1e-6)
+    assert on.add == pytest.approx(icp_only.add, abs=1e-6)

@@ -170,3 +170,54 @@ def test_evaluate_converted_records_end_to_end(tmp_path):
         # a GT-posed model cloud has near-zero ADD-S floor ceiling: the
         # untrained net is garbage, but the metric must stay in range
         assert 0.0 <= res.add_s_01d <= 1.0
+
+
+@pytest.mark.skipif(not HAVE_REF, reason="reference mount absent")
+def test_evaluate_converted_icp_both_pairs():
+    """evaluate_converted(icp="both") returns (off, on) where off matches a
+    plain icp=False run (shared record decode + FPS keys)."""
+    import jax
+    from scipy.spatial.transform import Rotation
+
+    from cloudaae_tpu.config import Config, ModelConfig, SynthConfig
+    from cloudaae_tpu.data.linemod import LinemodSample, NUM_POINT
+    from cloudaae_tpu.data.ycb import load_object_models
+    from cloudaae_tpu.evaluate import evaluate_converted
+    from cloudaae_tpu.models import make_model
+    from cloudaae_tpu.parallel.train_step import create_train_state
+
+    obj_path = os.path.join(REF, "object_model_tfrecord/obj_models.tfrecords")
+    obj_models = load_object_models(obj_path)[:13]
+    cfg = Config(
+        synth=SynthConfig(dataset="linemod"),
+        model=ModelConfig(num_class=13, num_point=64),
+    )
+    model = make_model(cfg.model)
+    state = create_train_state(model, cfg, jax.random.key(0))
+
+    rng = np.random.default_rng(3)
+    recs = []
+    for frame in range(2):
+        R = Rotation.random(random_state=rng).as_matrix()
+        t = np.array([0.0, 0.0, 0.9])
+        pick = rng.choice(obj_models.shape[1], NUM_POINT, replace=False)
+        pts = obj_models[2, pick, :3] @ R.T + t
+        recs.append(
+            LinemodSample(
+                class_id=2, frame_id=frame, rotation_mat=R,
+                axisangle=Rotation.from_matrix(R).as_rotvec(),
+                translation=t, num_valid_points_in_segment=NUM_POINT,
+                xyz=pts, rgb=np.ones_like(pts) * 0.5, data_source=1,
+            )
+        )
+
+    off, on = evaluate_converted(
+        recs, state, model, cfg, obj_models, icp="both"
+    )
+    plain = evaluate_converted(
+        recs, state, model, cfg, obj_models, icp=False
+    )
+    assert off.frames == on.frames == plain.frames == 2
+    assert off.trans_err == pytest.approx(plain.trans_err, abs=1e-6)
+    assert off.add == pytest.approx(plain.add, abs=1e-6)
+    assert np.isfinite(on.add)
