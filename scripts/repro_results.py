@@ -133,6 +133,11 @@ def _assemble(args, sections):
     with open(os.path.join(REPO, args.out), "w") as f:
         f.write("# Results — regenerated by scripts/repro_results.py from "
                 "committed artifacts\n")
+        # optional hand-written preamble (run provenance, headline claims)
+        preamble = os.path.join(REPO, args.sections_dir, "_preamble.md")
+        if os.path.exists(preamble):
+            with open(preamble) as s:
+                f.write("\n" + s.read())
         for name, section in sections:
             with open(os.path.join(REPO, section)) as s:
                 body = s.read()
