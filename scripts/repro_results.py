@@ -29,9 +29,9 @@ FLAGSHIP = "runs/21/6d/20260820-052144/params_latest.npz"
 ALL_CLASSES = [str(c) for c in range(21)]
 
 # The LINEMOD flagship: 13-class --dataset linemod --generate-poses
-# --rot-rep 6d --sym-loss run (see runs/13/6d/).  None until the first
-# LINEMOD run lands; repro then fails loudly on the missing artifact.
-LINEMOD_FLAGSHIP = "runs/13/6d/20260820-231626/params_latest.npz"
+# --rot-rep 6d --sym-loss run (40k steps, LINEMOD frustum camera; see
+# runs/linemod_train log and the run dir's config.json).
+LINEMOD_FLAGSHIP = "runs/13/6d/20260821-002939/params_latest.npz"
 
 # name -> (script, artifact, extra args).  Each entry is one committed
 # command; sections concatenate into RESULTS.md in this order.
