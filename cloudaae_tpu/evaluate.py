@@ -250,6 +250,19 @@ def make_eval_forward(model, cfg: Config, obj_models: np.ndarray, icp: bool,
     return jax.jit(fwd) if jit else fwd
 
 
+def _icp_modes(icp) -> tuple[bool, ...]:
+    """Validate the ``icp`` tri-state: False / True / "both".
+
+    Any other string (e.g. "off", "Both") would silently bool() to a
+    single ICP-on pass, inverting the caller's intent.
+    """
+    if icp == "both":
+        return (False, True)
+    if icp in (False, True):
+        return (icp,)
+    raise ValueError(f"icp must be False, True, or 'both'; got {icp!r}")
+
+
 @dataclass
 class EvalResult:
     frames: int
@@ -396,7 +409,7 @@ def evaluate_frames_batched(
     import itertools
 
     variables = {"params": state.params, "batch_stats": state.batch_stats}
-    icp_modes = (False, True) if icp == "both" else (bool(icp),)
+    icp_modes = _icp_modes(icp)
 
     frame_iter = (f for f in frames if f.class_one_hot[target_cls])
 
@@ -498,7 +511,7 @@ def evaluate_converted(
     import itertools
 
     variables = {"params": state.params, "batch_stats": state.batch_stats}
-    icp_modes = (False, True) if icp == "both" else (bool(icp),)
+    icp_modes = _icp_modes(icp)
     num_point = cfg.eval.num_point
 
     fwd_batches = []

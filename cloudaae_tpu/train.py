@@ -104,6 +104,14 @@ def get_parser() -> argparse.ArgumentParser:
     hyper.add_argument("--dp", type=int, default=-1)
     hyper.add_argument("--tp", type=int, default=1)
     hyper.add_argument("--log-every", type=int, default=100)
+    hyper.add_argument("--checkpoint-every", type=int,
+                       default=config_mod.TrainConfig.checkpoint_every_epochs,
+                       help="epochs between checkpoint saves (the reference "
+                            "saves each epoch end, train_cloudAAE_ycbv.py:"
+                            "423-431; on tunneled backends the ~100 MB "
+                            "device->host state fetch costs ~2 min/epoch, "
+                            "so long runs want a sparser cadence — the "
+                            "final epoch always saves)")
     p.add_argument("--profile", action="store_true",
                    help="capture a jax.profiler trace of steps 10-15 "
                         "(after warmup) into <run_dir>/profile/")
@@ -150,6 +158,7 @@ def config_from_args(args) -> Config:
             dp=args.dp,
             tp=args.tp,
             log_every=args.log_every,
+            checkpoint_every_epochs=args.checkpoint_every,
             train_encoder=not args.freeze_encoder,
         ),
         data=dataclasses.replace(
@@ -332,13 +341,16 @@ def main(argv=None):
         log.log_string(
             f"epoch {epoch} time {dt:.1f}s ({sps:.1f} samples/s)"
         )
-        checkpoint.save(ckpt_dir, state, step)
-        # survival artifact: orbax step dirs are large and gitignored;
-        # the ~MB params npz in the run dir is what snapshots carry
-        checkpoint.export_params(
-            state, os.path.join(run_dir, "params_latest.npz")
-        )
-        if args.max_steps and step >= args.max_steps:
+        done = (epoch == cfg.train.max_epoch - 1
+                or bool(args.max_steps and step >= args.max_steps))
+        if done or (epoch + 1) % cfg.train.checkpoint_every_epochs == 0:
+            checkpoint.save(ckpt_dir, state, step)
+            # survival artifact: orbax step dirs are large and gitignored;
+            # the ~MB params npz in the run dir is what snapshots carry
+            checkpoint.export_params(
+                state, os.path.join(run_dir, "params_latest.npz")
+            )
+        if done:
             break
     if profiler is not None:
         profiler.stop()

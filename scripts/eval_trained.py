@@ -100,9 +100,12 @@ def main():
             tr.append(ex["translation"].float_list)
         return np.stack(ax), np.stack(tr)
 
+    from cloudaae_tpu.synth import sample_pose
+
     rows = []
     for cls in args.classes:
         rng = np.random.default_rng(1000 + cls)
+        key_cls = jax.random.key(1000 + cls)
         if args.pose_source == "records":
             ax_all, tr_all = record_poses(cls)
             pick = rng.choice(len(ax_all), size=args.frames, replace=False)
@@ -112,11 +115,15 @@ def main():
                 R = Rotation.from_rotvec(ax_all[pick[i]]).as_matrix()
                 t = tr_all[pick[i]].astype(np.float64)
             else:
-                R = Rotation.random(random_state=rng).as_matrix()
-                t = np.array(
-                    [rng.normal(0, 0.04), rng.normal(0, 0.04),
-                     rng.uniform(0.6, 0.9)]
-                )
+                # the SAME frustum sampler the --generate-poses training
+                # distribution draws from (synth.sample_pose, per-dataset
+                # camera): uniform SO(3) rotations, Gaussian-in-frustum
+                # translations — one sampler shared by train, the pose
+                # sweep, and eval (pinned by tests/test_pose_table.py)
+                key_cls, k_pose = jax.random.split(key_cls)
+                _, R_j, t_j = sample_pose(k_pose, cfg.synth.camera)
+                R = np.asarray(R_j, np.float64)
+                t = np.asarray(t_j, np.float64)
             frames.append(
                 ycb_real.render_frame(
                     obj_models, [cls], R[None], t[None], frame_id=i,
@@ -134,7 +141,8 @@ def main():
                    if args.sym_metric else "")
         icp_str = (
             f"  |  ICP: trans {res_icp.trans_err*100:.2f}cm "
-            f"rot-sym {np.degrees(res_icp.axag_sym_err):.1f}deg "
+            f"{'rot-sym' if args.sym_metric else 'rot'} "
+            f"{np.degrees(res_icp.axag_sym_err):.1f}deg "
             f"ADD {res_icp.add*100:.2f}cm ADD-S {res_icp.add_s*100:.2f}cm"
             if res_icp is not None else ""
         )
@@ -148,15 +156,21 @@ def main():
             flush=True,
         )
 
+    def _num(x):
+        # zero-frame classes carry NaN metrics; json.dump would emit the
+        # non-standard `NaN` token that strict parsers reject — use null
+        x = float(x)
+        return x if np.isfinite(x) else None
+
     def res_dict(r):
         return {
-            "frames": r.frames, "trans_cm": r.trans_err * 100,
-            "rot_deg": float(np.degrees(r.axag_err)),
-            "rot_sym_deg": float(np.degrees(r.axag_sym_err)),
-            "add_cm": r.add * 100, "add_s_cm": r.add_s * 100,
-            "add_2cm": r.add_2cm, "add_s_2cm": r.add_s_2cm,
-            "add_01d": r.add_01d, "add_s_01d": r.add_s_01d,
-            "add_auc": r.add_auc, "add_s_auc": r.add_s_auc,
+            "frames": r.frames, "trans_cm": _num(r.trans_err * 100),
+            "rot_deg": _num(np.degrees(r.axag_err)),
+            "rot_sym_deg": _num(np.degrees(r.axag_sym_err)),
+            "add_cm": _num(r.add * 100), "add_s_cm": _num(r.add_s * 100),
+            "add_2cm": _num(r.add_2cm), "add_s_2cm": _num(r.add_s_2cm),
+            "add_01d": _num(r.add_01d), "add_s_01d": _num(r.add_s_01d),
+            "add_auc": _num(r.add_auc), "add_s_auc": _num(r.add_s_auc),
         }
 
     # machine-readable dump next to the markdown (repro_results consumers)
@@ -206,9 +220,12 @@ def main():
             "\n\n"
         )
         sym_hdr = " rot-sym (deg) |" if args.sym_metric else ""
+        # without --sym-metric, axag_sym_err falls back to the plain
+        # geodesic — label the paired column accordingly
+        rot_icp_lbl = "rot-sym+ICP" if args.sym_metric else "rot+ICP"
         icp_hdr = (
-            " trans+ICP | rot-sym+ICP | ADD+ICP | ADD-S+ICP | ADD-S<2cm+ICP |"
-            " AUC-S+ICP |" if args.icp == "both" else ""
+            f" trans+ICP | {rot_icp_lbl} | ADD+ICP | ADD-S+ICP |"
+            " ADD-S<2cm+ICP | AUC-S+ICP |" if args.icp == "both" else ""
         )
         f.write("| class | frames | trans (cm) | rot (deg) |" + sym_hdr +
                 " ADD (cm) | "

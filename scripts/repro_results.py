@@ -98,9 +98,17 @@ def main():
         _assemble(args, sections)
         return
 
+    # --quick must not clobber the committed section files (a later
+    # --assemble-only would then build RESULTS.md from 4-frame smoke
+    # numbers): smoke sections go to a throwaway dir
+    sections_dir = args.sections_dir
+    if args.quick:
+        import tempfile
+
+        sections_dir = tempfile.mkdtemp(prefix="repro_quick_")
     sections = []
     for name, script, artifact, extra in manifest:
-        section = os.path.join(args.sections_dir, f"{name}.md")
+        section = os.path.join(sections_dir, f"{name}.md")
         if args.quick:  # shrink the workload, keep the artifact checks
             groups: list[list[str]] = []
             for tok in extra:
