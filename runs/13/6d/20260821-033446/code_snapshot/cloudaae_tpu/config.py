@@ -225,15 +225,6 @@ class LossConfig:
     sym_max: int = 16          # group table size (identity-padded)
     sym_angles: int = 16       # per-axis candidate angular resolution
     sym_tol: float = 1.6       # p99 self-Chamfer bound, sampling-spacing units
-    # Depth-view-equivalent extension (symmetry.detect_view_symmetries):
-    # also forgive rotations a depth camera cannot resolve from a typical
-    # viewpoint (a can's top-bottom flip) — candidates are scored by the
-    # HPR visible-surface residual over sampled views.  sym_max should be
-    # raised (32) with this on: a C16 revolution group composed with one
-    # flip is 32 elements.
-    sym_view: bool = False
-    sym_view_tol: float = 1.6  # per-view residual bound, spacing units
-    sym_view_frac: float = 0.6 # min fraction of ambiguous views to accept
 
 
 @dataclasses.dataclass(frozen=True)
@@ -278,13 +269,6 @@ class EvalConfig:
     icp_iterations: int = 10                   # :616
     icp_initial_radius: float = 0.01           # :612
     icp_radius_decay: float = 0.9              # :620
-    # Per-sample acceptance gate: keep the ICP-refined pose only when the
-    # trimmed model->segment alignment residual (ops.icp.alignment_residual)
-    # improves over the network pose — makes refinement monotone per class,
-    # not just on average (the reference treats ICP as strictly-optional
-    # refinement, evaluate_cloudAAE_ycbv.py:606-642).
-    icp_accept_gate: bool = True
-    icp_gate_keep_frac: float = 0.4            # trimmed fraction (occlusion)
     add_threshold: float = 0.02                # ADD <2cm convention
     add_threshold_diameter_frac: float = 0.1   # ADD <0.1d convention
 

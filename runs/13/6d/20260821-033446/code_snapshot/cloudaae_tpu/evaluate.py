@@ -210,26 +210,6 @@ def make_eval_forward(model, cfg: Config, obj_models: np.ndarray, icp: bool,
                 radius_decay=cfg.eval.icp_radius_decay,
                 segment_mask=seg_full_mask,
             )
-            if cfg.eval.icp_accept_gate:
-                # per-sample gate: keep the refined pose only when the
-                # trimmed alignment residual actually improves — ICP can
-                # slide into a worse local optimum on thin/ambiguous
-                # segments, and an aggregate-only improvement hides that
-                from cloudaae_tpu.ops.icp import alignment_residual
-
-                res0 = alignment_residual(
-                    model_pts, seg_full, R_pred, trans_pred,
-                    segment_mask=seg_full_mask,
-                    keep_frac=cfg.eval.icp_gate_keep_frac,
-                )
-                res1 = alignment_residual(
-                    model_pts, seg_full, R_ref, t_ref,
-                    segment_mask=seg_full_mask,
-                    keep_frac=cfg.eval.icp_gate_keep_frac,
-                )
-                accept = res1 < res0
-                R_ref = jnp.where(accept, R_ref, R_pred)
-                t_ref = jnp.where(accept, t_ref, trans_pred)
             R_pred, trans_pred = R_ref, t_ref
             trans_err = jnp.linalg.norm(trans_pred - trans_gt)
             axag_err = so3.geodesic_angle(R_pred, R_gt)
@@ -611,14 +591,6 @@ def get_parser() -> argparse.ArgumentParser:
                               "default: the YCB table under --data-root")
     p.add_argument("--batch-size", type=int, default=1)
     p.add_argument("--icp", action="store_true")
-    p.add_argument("--sym-metric", action="store_true",
-                   help="report axag_sym_err as the min-over-symmetry-group "
-                        "geodesic (cloudaae_tpu/symmetry.py) — the "
-                        "meaningful rotation metric for symmetric classes")
-    p.add_argument("--sym-view", action="store_true",
-                   help="with --sym-metric: extend the groups with depth-"
-                        "view-equivalent rotations "
-                        "(symmetry.detect_view_symmetries)")
     p.add_argument("--synthetic", type=int, default=0,
                    help="evaluate on N rendered synthetic frames instead "
                         "of real tfrecords")
@@ -675,16 +647,6 @@ def main(argv=None):
         state = checkpoint.restore_any(args.trained_model, state)
         print(f"restored {args.trained_model} at step {int(state.step)}")
 
-    sym_rots = None
-    if args.sym_metric:
-        from cloudaae_tpu import symmetry
-
-        sym_rots = symmetry.build_symmetry_table_cached(
-            np.asarray(obj_models[..., :3], np.float32),
-            max_syms=32 if args.sym_view else 16,
-            view_sym=args.sym_view,
-        )
-
     if args.converted_records:
         from cloudaae_tpu.data import linemod
 
@@ -696,15 +658,12 @@ def main(argv=None):
         for cls in sorted(by_cls):
             res = evaluate_converted(
                 by_cls[cls], state, model, cfg, obj_models,
-                icp=args.icp, chunk=args.chunk, sym_rots=sym_rots,
+                icp=args.icp, chunk=args.chunk,
             )
             results[cls] = res
-            sym_str = (f" axag_sym {res.axag_sym_err:.6f}"
-                       if args.sym_metric else "")
             print(
                 f"class {cls:2d} frames {res.frames:4d} "
-                f"trans_loss {res.trans_err:.6f} axag_loss {res.axag_err:.6f}"
-                f"{sym_str} "
+                f"trans_loss {res.trans_err:.6f} axag_loss {res.axag_err:.6f} "
                 f"ADD {res.add:.6f} ADD-S {res.add_s:.6f} "
                 f"ADD<0.1d {res.add_01d:.3f} ADD-S<0.1d {res.add_s_01d:.3f}"
             )
@@ -756,12 +715,12 @@ def main(argv=None):
     if args.per_frame:
         result = evaluate_frames(
             frames, args.target_cls, state, model, cfg, obj_models,
-            icp=args.icp, sym_rots=sym_rots,
+            icp=args.icp,
         )
     else:
         result = evaluate_frames_batched(
             frames, args.target_cls, state, model, cfg, obj_models,
-            icp=args.icp, chunk=args.chunk, sym_rots=sym_rots,
+            icp=args.icp, chunk=args.chunk,
         )
     print(
         f"frames {result.frames} trans_loss {result.trans_err:.6f} "

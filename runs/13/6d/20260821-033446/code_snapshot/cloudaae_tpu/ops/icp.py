@@ -45,33 +45,6 @@ def _kabsch(src: jnp.ndarray, tgt: jnp.ndarray, w: jnp.ndarray):
     return r, t
 
 
-def alignment_residual(
-    model: jnp.ndarray,
-    segment: jnp.ndarray,
-    R: jnp.ndarray,
-    t: jnp.ndarray,
-    segment_mask: jnp.ndarray | None = None,
-    keep_frac: float = 0.4,
-) -> jnp.ndarray:
-    """Trimmed model->segment alignment residual of a pose (scalar, m^2).
-
-    Mean of the smallest ``keep_frac`` squared nearest-neighbor distances
-    from the posed model points to the observed segment.  The trim makes
-    the statistic occlusion-robust: a single depth view sees roughly half
-    the model surface, so the hidden half's large distances carry no
-    alignment signal and are dropped.  Used as the per-sample ICP
-    acceptance gate (EvalConfig.icp_accept_gate): comparing the residual
-    at the network pose vs the refined pose decides which to keep.
-    """
-    if segment_mask is not None:
-        far = jnp.max(jnp.linalg.norm(segment, axis=-1)) + 1e3
-        segment = jnp.where(segment_mask[:, None], segment, far)
-    moved = jnp.matmul(model, R.T, precision=lax.Precision.HIGHEST) + t
-    _, sq = _nearest_targets(moved, segment)
-    k = max(int(model.shape[0] * keep_frac), 1)
-    return jnp.mean(jnp.sort(sq)[:k])
-
-
 def icp_point_to_point(
     model: jnp.ndarray,
     segment: jnp.ndarray,

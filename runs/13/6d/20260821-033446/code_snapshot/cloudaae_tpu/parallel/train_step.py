@@ -200,9 +200,6 @@ def _maybe_symmetry_table(cfg: Config, obj_models: np.ndarray):
         max_syms=cfg.loss.sym_max,
         num_angles=cfg.loss.sym_angles,
         tol=cfg.loss.sym_tol,
-        view_sym=cfg.loss.sym_view,
-        view_tol=cfg.loss.sym_view_tol,
-        view_frac=cfg.loss.sym_view_frac,
     )
     return np.asarray(table, np.float32)
 

@@ -28,8 +28,6 @@ plain geodesic for parity with the reference's logs.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -231,254 +229,16 @@ def detect_symmetries(
     return np.stack(table)
 
 
-def fibonacci_directions(n: int) -> np.ndarray:
-    """n near-uniform unit directions on S^2 (Fibonacci sphere), (n, 3)."""
-    i = np.arange(n, dtype=np.float64) + 0.5
-    phi = np.pi * (3.0 - np.sqrt(5.0)) * i
-    z = 1.0 - 2.0 * i / n
-    r = np.sqrt(np.maximum(1.0 - z * z, 0.0))
-    return np.stack([r * np.cos(phi), r * np.sin(phi), z], axis=-1)
-
-
-def _view_rotations(num_views: int) -> np.ndarray:
-    """One rotation per Fibonacci direction u: row 2 = u, so the posed
-    cloud ``centered @ R.T + z0*ez`` presents the object's u-hemisphere to
-    a camera at the origin looking along +z.  (num_views, 3, 3)."""
-    us = fibonacci_directions(num_views)
-    rots = []
-    for u in us:
-        a = np.array([1.0, 0.0, 0.0])
-        if abs(np.dot(a, u)) > 0.9:
-            a = np.array([0.0, 1.0, 0.0])
-        x = np.cross(u, a)
-        x /= np.linalg.norm(x)
-        y = np.cross(u, x)
-        rots.append(np.stack([x, y, u]))
-    return np.stack(rots).astype(np.float32)
-
-
-def view_visibility_masks(
-    points: jnp.ndarray,
-    num_views: int = 20,
-    view_distance: float = 0.75,
-    hpr_param: float = 0.8 * np.pi,
-    hpr_iters: int = 12,
-) -> np.ndarray:
-    """What a depth camera sees of the model from each view: (V, N) bool.
-
-    The same HPR operator the synthesis pipeline uses to produce training
-    segments (ops.hpr, replacing utils/hidden_point_removal.py) — so "the
-    camera cannot tell these poses apart" is judged by the exact
-    self-occlusion model the rest of the framework lives by.  The object
-    is placed at ``view_distance`` on the optical axis (a typical YCB/
-    LINEMOD working distance; visibility is only weakly distance-
-    dependent at these scales).
-    """
-    from cloudaae_tpu.ops.hpr import hpr_visible_mask
-
-    centered = points - jnp.mean(points, axis=0)
-    Rv = jnp.asarray(_view_rotations(num_views), points.dtype)
-    offset = jnp.array([0.0, 0.0, view_distance], points.dtype)
-
-    def one(R):
-        posed = jnp.matmul(centered, R.T, precision="highest") + offset
-        return hpr_visible_mask(posed, hpr_param, iters=hpr_iters)
-
-    return np.asarray(jax.lax.map(one, Rv))
-
-
-def view_ambiguity_fraction(
-    points: jnp.ndarray,
-    rotations: jnp.ndarray,
-    vis_masks: np.ndarray,
-    view_tol: float = 1.6,
-    q: float = 0.99,
-) -> np.ndarray:
-    """Fraction of views from which each candidate is depth-ambiguous.
-
-    A depth camera sees only the HPR-visible surface; a rotation S is
-    *view-equivalent* from view k when the visible cloud and its S-image
-    tell the same story: every visible point lies on the rotated surface
-    (row direction) and the rotated visible set lies back on the surface
-    (column direction).  Both directions come from one (N, N) distance
-    matrix D[i,j] = |a_i - S a_j|^2 per candidate; per view, the masked
-    p-quantiles of the row/col nearest distances are scored in sampling-
-    spacing units (same unit as :func:`symmetry_score`).  The quantile can
-    be as strict as the geometric scorer's p99 because targets are always
-    the FULL rotated model — visibility-mask boundaries add no noise to
-    the nearest-distance field — and a loose quantile forgives exactly the
-    small distinctive features (a banana's tips, a marker's nib) that make
-    a near-symmetry resolvable.
-
-    This is the capability the pure geometric detector lacks (VERDICT r3):
-    a can's top-vs-bottom flip is NOT a geometric symmetry (the recessed
-    lid differs from the base) but from almost every viewpoint the depth
-    image is identical — exactly the ambiguity the min-over-group metric
-    should forgive.
-
-    Args:
-      points: (N, 3) model points.
-      rotations: (S, 3, 3) candidates.
-      vis_masks: (V, N) bool from :func:`view_visibility_masks`.
-      view_tol: per-view acceptance threshold (spacing units).
-      q: quantile of the visible-point residuals per view.
-    Returns:
-      (S,) fraction of views with score < view_tol.
-    """
-    centered = points - jnp.mean(points, axis=0)
-    spacing = float(sampling_spacing(points))
-    masks = np.asarray(vis_masks, bool)
-
-    def dists(S):
-        rotated = jnp.matmul(centered, jnp.asarray(S).T, precision="highest")
-        d = (
-            jnp.sum(centered**2, axis=-1, keepdims=True)
-            - 2.0 * jnp.matmul(centered, rotated.T, precision="highest")
-            + jnp.sum(rotated**2, axis=-1)[None, :]
-        )
-        row = jnp.sqrt(jnp.maximum(jnp.min(d, axis=1), 0.0))
-        col = jnp.sqrt(jnp.maximum(jnp.min(d, axis=0), 0.0))
-        return row, col
-
-    fracs = []
-    for S in np.asarray(rotations):
-        row, col = (np.asarray(x) for x in dists(S))
-        ok = 0
-        for m in masks:
-            s = max(
-                float(np.quantile(row[m], q)), float(np.quantile(col[m], q))
-            ) / spacing
-            ok += s < view_tol
-        fracs.append(ok / len(masks))
-    return np.asarray(fracs)
-
-
-def detect_view_symmetries(
-    points: np.ndarray,
-    max_syms: int = 32,
-    num_angles: int = 16,
-    tol: float = 1.6,
-    view_tol: float = 1.6,
-    view_frac: float = 0.6,
-    num_views: int = 20,
-    view_distance: float = 0.75,
-    refine_iters: int = 12,
-    gate: float = 8.0,
-) -> np.ndarray:
-    """Symmetry group extended with depth-view-equivalent rotations.
-
-    Pipeline: the geometric group from :func:`detect_symmetries` first;
-    then every ICP-refined grid candidate not already in the group is
-    scored by :func:`view_ambiguity_fraction` and accepted when it is
-    depth-ambiguous from at least ``view_frac`` of the sampled views;
-    finally the union is closed under composition (a flip composed with
-    each C_n element is also view-equivalent) up to ``max_syms``.
-
-    The default ``view_frac=0.6`` keeps the extension honest: a can's
-    top-bottom flip (ambiguous from every view except near-polar ones,
-    frac ~0.85) gets in; a mug's axial rotations (handle visible from
-    most views) stay out — the metric then forgives only ambiguities a
-    depth camera genuinely cannot resolve from a typical viewpoint.
-
-    Returns (max_syms, 3, 3) float32; slot 0 identity, identity-padded.
-    """
-    pts = jnp.asarray(np.asarray(points, np.float32))
-    base = detect_symmetries(
-        points, max_syms=max_syms, num_angles=num_angles, tol=tol,
-        refine_iters=refine_iters, gate=gate,
-    )
-    eye = np.eye(3, dtype=np.float32)
-    group = [eye] + [R for R in base if _geodesic_deg(R, eye) > 1e-3]
-
-    # candidates: the refined grid, minus whatever the geometric pass took
-    cands = candidate_rotations(pts, num_angles)
-    scores = np.asarray(symmetry_score(pts, cands))
-    gated = np.flatnonzero(scores < gate)
-    refined = (
-        np.asarray(refine_rotations(pts, cands[gated], iters=refine_iters),
-                   np.float32)
-        if gated.size else np.zeros((0, 3, 3), np.float32)
-    )
-    min_sep = 180.0 / num_angles
-    fresh = [
-        R for R in refined
-        if not any(_geodesic_deg(R, g) <= min_sep for g in group)
-    ]
-    # dedupe the fresh set against itself (refinement collapses shadows)
-    uniq: list[np.ndarray] = []
-    for R in fresh:
-        if not any(_geodesic_deg(R, u) <= min_sep for u in uniq):
-            uniq.append(R)
-
-    accepted: list[np.ndarray] = []
-    if uniq:
-        vis = view_visibility_masks(
-            pts, num_views=num_views, view_distance=view_distance,
-        )
-        fracs = view_ambiguity_fraction(
-            pts, np.stack(uniq), vis, view_tol=view_tol,
-        )
-        for R, f in zip(uniq, fracs):
-            if f < view_frac:
-                continue
-            # group closure, as in the geometric detector: a true
-            # (view-)group element's square must also be ambiguous — this
-            # rejects small partial rotations of near-tubes (a banana's
-            # 11-degree roll passes alone; its 22-degree square does not)
-            sq = R @ R
-            closed = _geodesic_deg(sq, np.eye(3)) <= min_sep or any(
-                _geodesic_deg(sq, g) <= min_sep for g in group
-            )
-            if not closed:
-                fsq = float(
-                    view_ambiguity_fraction(
-                        pts, sq[None], vis, view_tol=view_tol
-                    )[0]
-                )
-                closed = fsq >= view_frac
-            if closed:
-                accepted.append(R)
-
-    # close under composition with the geometric group (and the accepted
-    # set), largest-frac first; duplicates never change a min-over-group
-    table = list(group)
-    frontier = list(accepted)
-    for V in frontier:
-        for G in group:
-            for R in (V @ G, G @ V):
-                if len(table) >= max_syms:
-                    break
-                if not any(_geodesic_deg(R, k) <= min_sep for k in table):
-                    table.append(R.astype(np.float32))
-    while len(table) < max_syms:
-        table.append(eye)
-    return np.stack(table[:max_syms])
-
-
 def build_symmetry_table(
     obj_models: np.ndarray,
     max_syms: int = 16,
     num_angles: int = 16,
     tol: float = 1.6,
-    view_sym: bool = False,
-    view_tol: float = 1.6,
-    view_frac: float = 0.6,
 ) -> np.ndarray:
-    """Per-class symmetry tables: (C, N, 3+) models -> (C, S, 3, 3).
-
-    ``view_sym=True`` uses :func:`detect_view_symmetries` (geometric group
-    + depth-view-equivalent flips) instead of the purely geometric
-    detector.
-    """
-    detect = (
-        functools.partial(
-            detect_view_symmetries, view_tol=view_tol, view_frac=view_frac
-        )
-        if view_sym else detect_symmetries
-    )
+    """Per-class symmetry tables: (C, N, 3+) models -> (C, S, 3, 3)."""
     return np.stack(
         [
-            detect(
+            detect_symmetries(
                 np.asarray(obj_models[c][..., :3], np.float32),
                 max_syms=max_syms,
                 num_angles=num_angles,
@@ -495,9 +255,6 @@ def build_symmetry_table_cached(
     num_angles: int = 16,
     tol: float = 1.6,
     cache_dir: str | None = None,
-    view_sym: bool = False,
-    view_tol: float = 1.6,
-    view_frac: float = 0.6,
 ) -> np.ndarray:
     """Disk-cached :func:`build_symmetry_table`.
 
@@ -515,8 +272,6 @@ def build_symmetry_table_cached(
     h = hashlib.sha1()
     h.update(pts.tobytes())
     h.update(f"{pts.shape}|{max_syms}|{num_angles}|{tol}".encode())
-    if view_sym:
-        h.update(f"|view|{view_tol}|{view_frac}".encode())
     cache_dir = cache_dir or os.path.join(
         os.path.expanduser("~"), ".cache", "cloudaae_tpu"
     )
@@ -531,8 +286,7 @@ def build_symmetry_table_cached(
             if table.shape == (pts.shape[0], max_syms, 3, 3):
                 return table
     table = build_symmetry_table(
-        pts, max_syms=max_syms, num_angles=num_angles, tol=tol,
-        view_sym=view_sym, view_tol=view_tol, view_frac=view_frac,
+        pts, max_syms=max_syms, num_angles=num_angles, tol=tol
     )
     os.makedirs(cache_dir, exist_ok=True)
     # np.save appends ".npy" unless the name already ends with it.

@@ -72,14 +72,6 @@ def get_parser() -> argparse.ArgumentParser:
                                  "group geodesic with per-class symmetry "
                                  "groups auto-detected from the object "
                                  "models (cloudaae_tpu/symmetry.py)")
-    train_opts.add_argument("--sym-view", action="store_true",
-                            help="with --sym-loss: extend the groups with "
-                                 "depth-view-equivalent rotations (a can's "
-                                 "top-bottom flip) so the loss stops "
-                                 "penalizing ambiguities the depth camera "
-                                 "cannot resolve "
-                                 "(symmetry.detect_view_symmetries); "
-                                 "raises the group table size to 32")
     train_opts.add_argument("--real-records", nargs="*", default=None,
                             help="FPS-presampled real-segment tfrecords: "
                                  "train on real data (the shipped ckpt's "
@@ -156,10 +148,7 @@ def config_from_args(args) -> Config:
                 args.edgeconv_fused
             ],
         ),
-        loss=dataclasses.replace(
-            cfg.loss, rot_sym=args.sym_loss, sym_view=args.sym_view,
-            sym_max=32 if args.sym_view else cfg.loss.sym_max,
-        ),
+        loss=dataclasses.replace(cfg.loss, rot_sym=args.sym_loss),
         train=dataclasses.replace(
             cfg.train,
             batch_size=args.batch_size,

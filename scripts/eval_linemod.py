@@ -86,6 +86,14 @@ def main():
                    help="'both' evaluates the same records through the "
                         "ICP-off and ICP-on forwards (paired columns)")
     p.add_argument("--seed", type=int, default=11)
+    p.add_argument("--sym-metric", action="store_true",
+                   help="report the min-over-symmetry-group geodesic "
+                        "(rot-sym) next to the single-GT rot — without it "
+                        "the rot column is meaningless for symmetric "
+                        "stand-in classes (cloudaae_tpu/symmetry.py)")
+    p.add_argument("--sym-view", action="store_true",
+                   help="extend the symmetry groups with depth-view-"
+                        "equivalent flips (symmetry.detect_view_symmetries)")
     p.add_argument("--data-root", default="/root/reference")
     p.add_argument("--object-models", default=None,
                    help="object-model tfrecord (default: the run config's "
@@ -118,6 +126,20 @@ def main():
     step = int(state.step)
     print(f"evaluating LINEMOD run at step {step}", flush=True)
 
+    sym_rots = None
+    if args.sym_metric:
+        from cloudaae_tpu import symmetry
+
+        sym_rots = symmetry.build_symmetry_table_cached(
+            np.asarray(obj_models[..., :3], np.float32),
+            max_syms=32 if args.sym_view else 16,
+            view_sym=args.sym_view,
+        )
+        counts = symmetry.num_symmetries(sym_rots)
+        print("symmetry group sizes:",
+              {c: int(counts[c]) for c in range(cfg.model.num_class)},
+              flush=True)
+
     recs = synth_records(obj_models, cfg, args.frames, args.seed,
                          cfg.model.num_class)
     icp_arg = {"off": False, "on": True, "both": "both"}[args.icp]
@@ -125,22 +147,26 @@ def main():
     for cls in range(cfg.model.num_class):
         res = evaluate_converted(
             [r for r in recs if r.class_id == cls],
-            state, model, cfg, obj_models, icp=icp_arg,
+            state, model, cfg, obj_models, icp=icp_arg, sym_rots=sym_rots,
         )
         res, res_icp = res if args.icp == "both" else (res, None)
         rows.append((cls, res, res_icp))
+        rot_lbl = "rot-sym" if args.sym_metric else "rot"
         icp_str = (
             f"  |  ICP: trans {res_icp.trans_err*100:.2f}cm "
-            f"rot {np.degrees(res_icp.axag_err):.1f}deg "
+            f"{rot_lbl} {np.degrees(res_icp.axag_sym_err):.1f}deg "
             f"ADD {res_icp.add*100:.2f}cm ADD<0.1d {res_icp.add_01d:.2f}"
             if res_icp is not None else ""
         )
+        sym_str = (f" rot-sym {np.degrees(res.axag_sym_err):.1f}deg"
+                   if args.sym_metric else "")
         print(
             f"class {cls:2d} {LINEMOD_CLASS_NAMES[cls]:12s} "
             f"frames {res.frames:3d} trans {res.trans_err*100:.2f}cm "
-            f"rot {np.degrees(res.axag_err):.1f}deg "
+            f"rot {np.degrees(res.axag_err):.1f}deg{sym_str} "
             f"ADD {res.add*100:.2f}cm ADD-S {res.add_s*100:.2f}cm "
-            f"ADD<0.1d {res.add_01d:.2f}" + icp_str,
+            f"ADD<0.1d {res.add_01d:.2f} AUC-S {res.add_s_auc:.3f}"
+            + icp_str,
             flush=True,
         )
 
@@ -148,12 +174,18 @@ def main():
     valid_icp = [ri for _, r, ri in rows if r.frames and ri is not None]
     mean_icp = lambda f: float(np.mean([f(r) for r in valid_icp]))
 
+    def _num(x):
+        x = float(x)
+        return x if np.isfinite(x) else None
+
     def res_dict(r):
         return {
-            "frames": r.frames, "trans_cm": r.trans_err * 100,
-            "rot_deg": float(np.degrees(r.axag_err)),
-            "add_cm": r.add * 100, "add_s_cm": r.add_s * 100,
-            "add_01d": r.add_01d, "add_s_01d": r.add_s_01d,
+            "frames": r.frames, "trans_cm": _num(r.trans_err * 100),
+            "rot_deg": _num(np.degrees(r.axag_err)),
+            "rot_sym_deg": _num(np.degrees(r.axag_sym_err)),
+            "add_cm": _num(r.add * 100), "add_s_cm": _num(r.add_s * 100),
+            "add_01d": _num(r.add_01d), "add_s_01d": _num(r.add_s_01d),
+            "add_auc": _num(r.add_auc), "add_s_auc": _num(r.add_s_auc),
         }
 
     mean = lambda f: float(np.mean([f(r) for r in valid]))
@@ -171,44 +203,62 @@ def main():
             "path real converted records take.  ICP: "
             f"{'paired off/on columns (same records)' if args.icp == 'both' else args.icp}.\n\n"
         )
-        icp_hdr = (" trans+ICP | rot+ICP | ADD+ICP | ADD<0.1d+ICP |"
-                   if args.icp == "both" else "")
-        f.write("| class | frames | trans (cm) | rot (deg) | ADD (cm) | "
-                "ADD-S (cm) | ADD<0.1d | ADD-S<0.1d |" + icp_hdr + "\n")
-        f.write("|---|---|---|---|---|---|---|---|" +
-                ("---|---|---|---|" if args.icp == "both" else "") + "\n")
+        sym_hdr = " rot-sym (deg) |" if args.sym_metric else ""
+        rot_icp_lbl = "rot-sym+ICP" if args.sym_metric else "rot+ICP"
+        icp_hdr = (f" trans+ICP | {rot_icp_lbl} | ADD+ICP | ADD<0.1d+ICP |"
+                   " AUC-S+ICP |" if args.icp == "both" else "")
+        f.write("| class | frames | trans (cm) | rot (deg) |" + sym_hdr +
+                " ADD (cm) | ADD-S (cm) | ADD<0.1d | ADD-S<0.1d |"
+                " AUC | AUC-S |" + icp_hdr + "\n")
+        f.write("|---|---|---|---|" + ("---|" if args.sym_metric else "") +
+                "---|---|---|---|---|---|" +
+                ("---|---|---|---|---|" if args.icp == "both" else "") + "\n")
         for cls, r, ri in rows:
+            sym_cell = (f" {np.degrees(r.axag_sym_err):.1f} |"
+                        if args.sym_metric else "")
             icp_cell = (
-                f" {ri.trans_err*100:.2f} | {np.degrees(ri.axag_err):.1f} "
-                f"| {ri.add*100:.2f} | {ri.add_01d:.2f} |"
+                f" {ri.trans_err*100:.2f} | {np.degrees(ri.axag_sym_err):.1f} "
+                f"| {ri.add*100:.2f} | {ri.add_01d:.2f} "
+                f"| {ri.add_s_auc:.3f} |"
                 if ri is not None else ""
             )
             f.write(
                 f"| {cls} {LINEMOD_CLASS_NAMES[cls]} | {r.frames} "
-                f"| {r.trans_err*100:.2f} | {np.degrees(r.axag_err):.1f} "
-                f"| {r.add*100:.2f} | {r.add_s*100:.2f} "
-                f"| {r.add_01d:.2f} | {r.add_s_01d:.2f} |" + icp_cell + "\n"
+                f"| {r.trans_err*100:.2f} | {np.degrees(r.axag_err):.1f} |"
+                f"{sym_cell}"
+                f" {r.add*100:.2f} | {r.add_s*100:.2f} "
+                f"| {r.add_01d:.2f} | {r.add_s_01d:.2f} "
+                f"| {r.add_auc:.3f} | {r.add_s_auc:.3f} |" + icp_cell + "\n"
             )
+        sym_mean = (
+            f" **{np.degrees(mean(lambda r: r.axag_sym_err)):.1f}** |"
+            if args.sym_metric else ""
+        )
         icp_mean = (
             f" **{mean_icp(lambda r: r.trans_err)*100:.2f}** "
-            f"| **{np.degrees(mean_icp(lambda r: r.axag_err)):.1f}** "
+            f"| **{np.degrees(mean_icp(lambda r: r.axag_sym_err)):.1f}** "
             f"| **{mean_icp(lambda r: r.add)*100:.2f}** "
-            f"| **{mean_icp(lambda r: r.add_01d):.2f}** |"
+            f"| **{mean_icp(lambda r: r.add_01d):.2f}** "
+            f"| **{mean_icp(lambda r: r.add_s_auc):.3f}** |"
             if args.icp == "both" else ""
         )
         f.write(
             f"| **mean** | | **{mean(lambda r: r.trans_err)*100:.2f}** "
-            f"| **{np.degrees(mean(lambda r: r.axag_err)):.1f}** "
-            f"| **{mean(lambda r: r.add)*100:.2f}** "
+            f"| **{np.degrees(mean(lambda r: r.axag_err)):.1f}** |"
+            f"{sym_mean}"
+            f" **{mean(lambda r: r.add)*100:.2f}** "
             f"| **{mean(lambda r: r.add_s)*100:.2f}** "
             f"| **{mean(lambda r: r.add_01d):.2f}** "
-            f"| **{mean(lambda r: r.add_s_01d):.2f}** |" + icp_mean + "\n"
+            f"| **{mean(lambda r: r.add_s_01d):.2f}** "
+            f"| **{mean(lambda r: r.add_auc):.3f}** "
+            f"| **{mean(lambda r: r.add_s_auc):.3f}** |" + icp_mean + "\n"
         )
     with open(os.path.splitext(out)[0] + ".json", "w") as jf:
         json.dump(
             {
                 "ckpt": args.ckpt, "step": step, "icp": args.icp,
                 "frames_per_class": args.frames,
+                "sym_metric": args.sym_metric, "sym_view": args.sym_view,
                 "classes": {
                     str(cls): {
                         "name": LINEMOD_CLASS_NAMES[cls],

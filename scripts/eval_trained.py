@@ -21,6 +21,29 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
+def uniform_eval_poses(camera, cls: int, frames: int):
+    """The eval 'uniform' pose source — the SAME frustum sampler the
+    --generate-poses training distribution draws from (synth.sample_pose,
+    per-dataset camera): uniform SO(3) rotations, Gaussian-in-frustum
+    translations.  One sampler shared by train (train.generate_pose_table),
+    the pose sweep, and eval; pinned by tests/test_pose_table.py.
+
+    Returns (R (frames, 3, 3), t (frames, 3)) float64 arrays.
+    """
+    import jax
+
+    from cloudaae_tpu.synth import sample_pose
+
+    key = jax.random.key(1000 + cls)
+    Rs, ts = [], []
+    for _ in range(frames):
+        key, k = jax.random.split(key)
+        _, R, t = sample_pose(k, camera)
+        Rs.append(np.asarray(R, np.float64))
+        ts.append(np.asarray(t, np.float64))
+    return np.stack(Rs), np.stack(ts)
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--ckpt", required=True)
@@ -45,6 +68,11 @@ def main():
                    help="also report the min-over-symmetry-group geodesic "
                         "rotation error (cloudaae_tpu/symmetry.py) — the "
                         "meaningful rotation metric for symmetric classes")
+    p.add_argument("--sym-view", action="store_true",
+                   help="with --sym-metric: extend the groups with depth-"
+                        "view-equivalent rotations the camera cannot "
+                        "resolve (symmetry.detect_view_symmetries) — e.g. "
+                        "a can's top-bottom flip")
     args = p.parse_args()
 
     import jax
@@ -81,7 +109,9 @@ def main():
         from cloudaae_tpu import symmetry
 
         sym_rots = symmetry.build_symmetry_table_cached(
-            np.asarray(obj_models[..., :3], np.float32)
+            np.asarray(obj_models[..., :3], np.float32),
+            max_syms=32 if args.sym_view else 16,
+            view_sym=args.sym_view,
         )
         counts = symmetry.num_symmetries(sym_rots)
         print("symmetry group sizes:",
@@ -100,30 +130,21 @@ def main():
             tr.append(ex["translation"].float_list)
         return np.stack(ax), np.stack(tr)
 
-    from cloudaae_tpu.synth import sample_pose
-
     rows = []
     for cls in args.classes:
         rng = np.random.default_rng(1000 + cls)
-        key_cls = jax.random.key(1000 + cls)
         if args.pose_source == "records":
             ax_all, tr_all = record_poses(cls)
             pick = rng.choice(len(ax_all), size=args.frames, replace=False)
+        else:
+            R_u, t_u = uniform_eval_poses(cfg.synth.camera, cls, args.frames)
         frames = []
         for i in range(args.frames):
             if args.pose_source == "records":
                 R = Rotation.from_rotvec(ax_all[pick[i]]).as_matrix()
                 t = tr_all[pick[i]].astype(np.float64)
             else:
-                # the SAME frustum sampler the --generate-poses training
-                # distribution draws from (synth.sample_pose, per-dataset
-                # camera): uniform SO(3) rotations, Gaussian-in-frustum
-                # translations — one sampler shared by train, the pose
-                # sweep, and eval (pinned by tests/test_pose_table.py)
-                key_cls, k_pose = jax.random.split(key_cls)
-                _, R_j, t_j = sample_pose(k_pose, cfg.synth.camera)
-                R = np.asarray(R_j, np.float64)
-                t = np.asarray(t_j, np.float64)
+                R, t = R_u[i], t_u[i]
             frames.append(
                 ycb_real.render_frame(
                     obj_models, [cls], R[None], t[None], frame_id=i,
