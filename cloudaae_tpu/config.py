@@ -285,6 +285,15 @@ class EvalConfig:
     # refinement, evaluate_cloudAAE_ycbv.py:606-642).
     icp_accept_gate: bool = True
     icp_gate_keep_frac: float = 0.4            # trimmed fraction (occlusion)
+    # Multi-start refinement (with icp_accept_gate): additionally try a
+    # centroid-snapped translation start — t + (segment centroid - HPR-
+    # visible-model centroid at the network pose) — and ICP from it, and
+    # keep the lowest-residual candidate.  Recovers the axial-shift
+    # failures of stick-like objects (large_marker: the network
+    # occasionally places the pen one length along its own axis; the
+    # shifted pose has ~zero segment overlap, so the residual gate
+    # separates it from the true pose by orders of magnitude).
+    icp_centroid_start: bool = True
     add_threshold: float = 0.02                # ADD <2cm convention
     add_threshold_diameter_frac: float = 0.1   # ADD <0.1d convention
 

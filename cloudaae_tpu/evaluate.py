@@ -203,34 +203,67 @@ def make_eval_forward(model, cfg: Config, obj_models: np.ndarray, icp: bool,
         axag_err = so3.geodesic_angle(R_pred, R_gt)
 
         if icp:
-            R_ref, t_ref = icp_point_to_point(
-                model_pts, seg_full, R_pred, trans_pred,
-                stages=cfg.eval.icp_iterations,
-                initial_radius=cfg.eval.icp_initial_radius,
-                radius_decay=cfg.eval.icp_radius_decay,
-                segment_mask=seg_full_mask,
-            )
-            if cfg.eval.icp_accept_gate:
-                # per-sample gate: keep the refined pose only when the
-                # trimmed alignment residual actually improves — ICP can
-                # slide into a worse local optimum on thin/ambiguous
-                # segments, and an aggregate-only improvement hides that
-                from cloudaae_tpu.ops.icp import alignment_residual
+            from cloudaae_tpu.ops.icp import alignment_residual
 
-                res0 = alignment_residual(
-                    model_pts, seg_full, R_pred, trans_pred,
+            def refine(R0, t0):
+                return icp_point_to_point(
+                    model_pts, seg_full, R0, t0,
+                    stages=cfg.eval.icp_iterations,
+                    initial_radius=cfg.eval.icp_initial_radius,
+                    radius_decay=cfg.eval.icp_radius_decay,
                     segment_mask=seg_full_mask,
-                    keep_frac=cfg.eval.icp_gate_keep_frac,
                 )
-                res1 = alignment_residual(
-                    model_pts, seg_full, R_ref, t_ref,
-                    segment_mask=seg_full_mask,
-                    keep_frac=cfg.eval.icp_gate_keep_frac,
+
+            R_ref, t_ref = refine(R_pred, trans_pred)
+            if not cfg.eval.icp_accept_gate:
+                R_pred, trans_pred = R_ref, t_ref  # reference behavior
+            else:
+                # candidate poses, judged by the trimmed alignment
+                # residual: the network pose, its ICP refinement, and
+                # (icp_centroid_start) a centroid-snapped translation
+                # start + its refinement — ICP can slide into a worse
+                # local optimum on thin/ambiguous segments, and gross
+                # axial shifts of stick objects need the snapped restart
+                cands = [(R_pred, trans_pred), (R_ref, t_ref)]
+                if cfg.eval.icp_centroid_start:
+                    from cloudaae_tpu.ops.hpr import hpr_visible_mask
+
+                    posed_pred = so3.transform_points(
+                        model_pts, R_pred, trans_pred
+                    )
+                    vis = hpr_visible_mask(
+                        posed_pred, cfg.synth.hpr_param,
+                        iters=cfg.synth.hpr_iters,
+                        slack=cfg.synth.hpr_slack,
+                    )
+                    nvis = jnp.maximum(jnp.sum(vis), 1)
+                    vis_centroid = (
+                        jnp.sum(jnp.where(vis[:, None], posed_pred, 0.0), 0)
+                        / nvis
+                    )
+                    nseg = jnp.maximum(jnp.sum(seg_full_mask), 1)
+                    seg_centroid = (
+                        jnp.sum(
+                            jnp.where(seg_full_mask[:, None], seg_full, 0.0), 0
+                        )
+                        / nseg
+                    )
+                    t_snap = trans_pred + seg_centroid - vis_centroid
+                    cands.append((R_pred, t_snap))
+                    cands.append(refine(R_pred, t_snap))
+                res = jnp.stack(
+                    [
+                        alignment_residual(
+                            model_pts, seg_full, Rc, tc,
+                            segment_mask=seg_full_mask,
+                            keep_frac=cfg.eval.icp_gate_keep_frac,
+                        )
+                        for Rc, tc in cands
+                    ]
                 )
-                accept = res1 < res0
-                R_ref = jnp.where(accept, R_ref, R_pred)
-                t_ref = jnp.where(accept, t_ref, trans_pred)
-            R_pred, trans_pred = R_ref, t_ref
+                best = jnp.argmin(res)
+                R_pred = jnp.stack([c[0] for c in cands])[best]
+                trans_pred = jnp.stack([c[1] for c in cands])[best]
             trans_err = jnp.linalg.norm(trans_pred - trans_gt)
             axag_err = so3.geodesic_angle(R_pred, R_gt)
 

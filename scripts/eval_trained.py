@@ -21,26 +21,42 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def uniform_eval_poses(camera, cls: int, frames: int):
+def uniform_eval_poses(camera, cls: int, frames: int, margin_px: float = 48.0):
     """The eval 'uniform' pose source — the SAME frustum sampler the
     --generate-poses training distribution draws from (synth.sample_pose,
     per-dataset camera): uniform SO(3) rotations, Gaussian-in-frustum
     translations.  One sampler shared by train (train.generate_pose_table),
     the pose sweep, and eval; pinned by tests/test_pose_table.py.
 
+    Draws whose center projects outside the *render* camera's image
+    (data.ycb_real.DEFAULT_INTRINSICS — a narrower FOV than the frustum
+    sampler's reprojection-check camera, which uses the reference's
+    LINEMOD intrinsics for both datasets) are redrawn: the eval protocol
+    only ever sees objects visible in the frame, exactly as the
+    reference's real test frames do by construction.
+
     Returns (R (frames, 3, 3), t (frames, 3)) float64 arrays.
     """
     import jax
 
+    from cloudaae_tpu.data.ycb_real import DEFAULT_INTRINSICS, FRAME_H, FRAME_W
     from cloudaae_tpu.synth import sample_pose
 
+    fx, fy = DEFAULT_INTRINSICS["fx"], DEFAULT_INTRINSICS["fy"]
+    cx, cy = DEFAULT_INTRINSICS["cx"], DEFAULT_INTRINSICS["cy"]
     key = jax.random.key(1000 + cls)
     Rs, ts = [], []
-    for _ in range(frames):
+    while len(Rs) < frames:
         key, k = jax.random.split(key)
         _, R, t = sample_pose(k, camera)
+        t = np.asarray(t, np.float64)
+        u = fx * t[0] / t[2] + cx
+        v = fy * t[1] / t[2] + cy
+        if not (margin_px < u < FRAME_W - margin_px
+                and margin_px < v < FRAME_H - margin_px):
+            continue
         Rs.append(np.asarray(R, np.float64))
-        ts.append(np.asarray(t, np.float64))
+        ts.append(t)
     return np.stack(Rs), np.stack(ts)
 
 
