@@ -13,6 +13,7 @@ from cloudaae_tpu.parallel.train_step import (
     create_train_state,
     make_eval_step,
     make_train_step,
+    make_train_multistep_from_table,
     make_train_step_from_table,
 )
 
@@ -24,6 +25,7 @@ __all__ = [
     "TrainState",
     "create_train_state",
     "make_train_step",
+    "make_train_multistep_from_table",
     "make_train_step_from_table",
     "make_eval_step",
 ]

@@ -297,6 +297,52 @@ def make_train_step_from_table(
     return jax.jit(step_fn, donate_argnums=0)
 
 
+def make_train_multistep_from_table(
+    model: CloudAAE,
+    cfg: Config,
+    obj_models: jnp.ndarray,
+    mesh=None,
+    steps_per_call: int = 4,
+):
+    """K train steps per device program: ``lax.scan`` over batch offsets.
+
+    Same computation as :func:`make_train_step_from_table` K times, but ONE
+    dispatch — on tunneled backends each dispatch costs real wall time, and
+    at ~50 ms/step that overhead is a measurable slice.  Returned metrics
+    are the LAST step's (the host loop samples metrics every ``log_every``
+    steps anyway, so per-step metric fidelity is already subsampled).
+
+    ``start`` is the offset of the FIRST batch; the K batches are
+    ``table[start + i*B : ...]`` for i in 0..K-1.
+    """
+    inner = _build_step_fn(model, cfg, obj_models)
+    b = cfg.train.batch_size
+    sharding = None
+    if mesh is not None and mesh.devices.size > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sharding = NamedSharding(mesh, P("dp"))
+
+    def step_fn(state: TrainState, table, start, key: jax.Array):
+        def body(st, off):
+            batch = tuple(
+                jax.lax.dynamic_slice_in_dim(arr, off, b, axis=0)
+                for arr in table
+            )
+            if sharding is not None:
+                batch = tuple(
+                    jax.lax.with_sharding_constraint(x, sharding)
+                    for x in batch
+                )
+            return inner(st, batch, key)
+
+        offs = start + jnp.arange(steps_per_call, dtype=jnp.int32) * b
+        state, ms = jax.lax.scan(body, state, offs)
+        return state, jax.tree_util.tree_map(lambda x: x[-1], ms)
+
+    return jax.jit(step_fn, donate_argnums=0)
+
+
 def make_train_step_real(model: CloudAAE, cfg: Config, obj_models: jnp.ndarray):
     """Train step for REAL pre-sampled segments — the shipped checkpoint's
     actual recipe (trained_network/.../train_6d_...compact.py:273-328):

@@ -112,6 +112,11 @@ def get_parser() -> argparse.ArgumentParser:
     hyper.add_argument("--dp", type=int, default=-1)
     hyper.add_argument("--tp", type=int, default=1)
     hyper.add_argument("--log-every", type=int, default=100)
+    hyper.add_argument("--steps-per-call", type=int, default=1,
+                       help="train steps fused into one device program "
+                            "(lax.scan): amortizes per-dispatch overhead "
+                            "on tunneled backends; must divide the epoch "
+                            "step count (falls back to 1 otherwise)")
     hyper.add_argument("--checkpoint-every", type=int,
                        default=config_mod.TrainConfig.checkpoint_every_epochs,
                        help="epochs between checkpoint saves (the reference "
@@ -294,8 +299,22 @@ def main(argv=None):
     if args.real_records:
         return _train_real(args, cfg, model, state, obj_models, log, run_dir, key)
 
-    train_step = make_train_step_from_table(model, cfg, obj_models, mesh)
     batcher = PoseBatcher(poses, cfg.train.batch_size, cfg.train.seed)
+    spc = max(args.steps_per_call, 1)
+    if spc > 1 and batcher.steps_per_epoch % spc != 0:
+        log.log_string(
+            f"steps-per-call {spc} does not divide "
+            f"{batcher.steps_per_epoch} steps/epoch; using 1"
+        )
+        spc = 1
+    if spc > 1:
+        from cloudaae_tpu.parallel import make_train_multistep_from_table
+
+        train_step = make_train_multistep_from_table(
+            model, cfg, obj_models, mesh, steps_per_call=spc
+        )
+    else:
+        train_step = make_train_step_from_table(model, cfg, obj_models, mesh)
     ckpt_dir = os.path.join(run_dir, "ckpt")
     b = cfg.train.batch_size
     base_key = key
@@ -320,14 +339,14 @@ def main(argv=None):
                 poses["class_id"][order],
             )
         )
-        for i in range(batcher.steps_per_epoch):
+        for i in range(0, batcher.steps_per_epoch, spc):
             if profiler is not None:
                 profiler.at_step(steps_this_process)
             state, m = train_step(
                 state, table, np.asarray(i * b, np.int32), base_key
             )
-            step += 1
-            steps_this_process += 1
+            step += spc
+            steps_this_process += spc
             if step % cfg.train.log_every == 0:
                 m = jax.device_get(m)
                 log.step(step, epoch, m)
