@@ -390,7 +390,13 @@ def detect_view_symmetries(
     eye = np.eye(3, dtype=np.float32)
     group = [eye] + [R for R in base if _geodesic_deg(R, eye) > 1e-3]
 
-    # candidates: the refined grid, minus whatever the geometric pass took
+    # Candidates: the RAW grid first, then the ICP-refined grid, minus
+    # whatever the geometric pass took.  Raw-first matters: view
+    # equivalence lives on the *visual* bounding geometry, for which the
+    # exact grid rotations about the PCA axes (90/180 degrees) are the
+    # right parameterization — full-geometry ICP refinement drags a
+    # near-square brick's 90-degree rotation to ~84 degrees (the
+    # geometric local optimum), whose square then fails closure.
     cands = candidate_rotations(pts, num_angles)
     scores = np.asarray(symmetry_score(pts, cands))
     gated = np.flatnonzero(scores < gate)
@@ -401,10 +407,12 @@ def detect_view_symmetries(
     )
     min_sep = 180.0 / num_angles
     fresh = [
-        R for R in refined
+        R for R in
+        list(np.asarray(cands, np.float32)) + list(refined)
         if not any(_geodesic_deg(R, g) <= min_sep for g in group)
     ]
-    # dedupe the fresh set against itself (refinement collapses shadows)
+    # dedupe the fresh set against itself (refinement collapses shadows;
+    # raw candidates, listed first, win their dedupe radius)
     uniq: list[np.ndarray] = []
     for R in fresh:
         if not any(_geodesic_deg(R, u) <= min_sep for u in uniq):
@@ -489,6 +497,27 @@ def build_symmetry_table(
     )
 
 
+def table_cache_name(
+    pts: np.ndarray,
+    max_syms: int = 16,
+    num_angles: int = 16,
+    tol: float = 1.6,
+    view_sym: bool = False,
+    view_tol: float = 1.6,
+    view_frac: float = 0.6,
+) -> str:
+    """Content-hash cache filename for a (C, N, 3) model set + knobs."""
+    import hashlib
+
+    pts = np.ascontiguousarray(np.asarray(pts, np.float32)[..., :3])
+    h = hashlib.sha1()
+    h.update(pts.tobytes())
+    h.update(f"{pts.shape}|{max_syms}|{num_angles}|{tol}".encode())
+    if view_sym:
+        h.update(f"|view|{view_tol}|{view_frac}".encode())
+    return f"symtable-{h.hexdigest()[:16]}.npy"
+
+
 def build_symmetry_table_cached(
     obj_models: np.ndarray,
     max_syms: int = 16,
@@ -506,21 +535,17 @@ def build_symmetry_table_cached(
     cost (minutes on CPU for 21 x 2048-pt models) at most once per model
     set instead of once per process.
     """
-    import hashlib
     import os
 
     pts = np.ascontiguousarray(
         np.asarray(obj_models, np.float32)[..., :3]
     )
-    h = hashlib.sha1()
-    h.update(pts.tobytes())
-    h.update(f"{pts.shape}|{max_syms}|{num_angles}|{tol}".encode())
-    if view_sym:
-        h.update(f"|view|{view_tol}|{view_frac}".encode())
+    name = table_cache_name(
+        pts, max_syms, num_angles, tol, view_sym, view_tol, view_frac
+    )
     cache_dir = cache_dir or os.path.join(
         os.path.expanduser("~"), ".cache", "cloudaae_tpu"
     )
-    name = f"symtable-{h.hexdigest()[:16]}.npy"
     path = os.path.join(cache_dir, name)
     # read-only fallback: tables for the shipped model sets travel with
     # the package (detection is minutes of CPU per fresh environment)
