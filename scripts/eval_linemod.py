@@ -117,9 +117,10 @@ def main():
     cfg = config_from_run_dir(run_dir)
     assert cfg.synth.dataset == "linemod", "not a LINEMOD run"
 
-    obj_models = load_object_models(
+    obj_models_full = load_object_models(
         args.object_models or cfg.data.object_model_path
-    )[: cfg.model.num_class]
+    )
+    obj_models = obj_models_full[: cfg.model.num_class]
     model = make_model(cfg.model)
     state = create_train_state(model, cfg, jax.random.key(0))
     state = checkpoint.restore_any(args.ckpt, state)
@@ -130,11 +131,14 @@ def main():
     if args.sym_metric:
         from cloudaae_tpu import symmetry
 
+        # detect on the FULL stand-in model table and slice: the train-time
+        # sym loss caches the full-set table (train_step builds it before
+        # class slicing), so eval hits the same cache entry
         sym_rots = symmetry.build_symmetry_table_cached(
-            np.asarray(obj_models[..., :3], np.float32),
+            np.asarray(obj_models_full[..., :3], np.float32),
             max_syms=32 if args.sym_view else 16,
             view_sym=args.sym_view,
-        )
+        )[: cfg.model.num_class]
         counts = symmetry.num_symmetries(sym_rots)
         print("symmetry group sizes:",
               {c: int(counts[c]) for c in range(cfg.model.num_class)},
