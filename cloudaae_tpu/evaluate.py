@@ -311,7 +311,7 @@ def _icp_modes(icp) -> tuple[bool, ...]:
     """
     if icp == "both":
         return (False, True)
-    if icp in (False, True):
+    if isinstance(icp, bool):
         return (icp,)
     raise ValueError(f"icp must be False, True, or 'both'; got {icp!r}")
 

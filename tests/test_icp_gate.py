@@ -89,3 +89,17 @@ def test_gate_never_accepts_worse():
     cands = jnp.stack([t_gt, t_bad])
     best = int(jnp.argmin(jnp.stack([res_net, res_ref])))
     assert bool(jnp.allclose(cands[best], t_gt))
+
+
+def test_icp_modes_validation():
+    """evaluate._icp_modes rejects typo strings instead of bool()ing them."""
+    import pytest
+
+    from cloudaae_tpu.evaluate import _icp_modes
+
+    assert _icp_modes(False) == (False,)
+    assert _icp_modes(True) == (True,)
+    assert _icp_modes("both") == (False, True)
+    for bad in ("off", "Both", "on", 1):
+        with pytest.raises(ValueError):
+            _icp_modes(bad)
