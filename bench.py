@@ -21,6 +21,8 @@ BASELINE_SAMPLES_PER_SEC = 148.0  # BASELINE.md: derived from log_train.txt
 
 
 def main():
+    import os
+
     import jax
 
     from cloudaae_tpu.config import Config
@@ -29,6 +31,7 @@ def main():
     from cloudaae_tpu.parallel import (
         create_train_state,
         make_mesh,
+        make_train_multistep_from_table,
         make_train_step_from_table,
     )
 
@@ -39,10 +42,20 @@ def main():
     model = make_model(cfg.model)
     state = create_train_state(model, cfg, jax.random.key(0))
     mesh = make_mesh(dp=-1, tp=1)
-    step_fn = make_train_step_from_table(model, cfg, obj_models, mesh)
+    # steps fused per dispatch (lax.scan): amortizes the per-dispatch
+    # overhead of the tunneled backend exactly as `train.py
+    # --steps-per-call` does in the real loop (scripts/perf_probe.py for
+    # the sizing)
+    spc = int(os.environ.get("CLOUDAAE_BENCH_SPC", "1"))
+    if spc > 1:
+        step_fn = make_train_multistep_from_table(
+            model, cfg, obj_models, mesh, steps_per_call=spc
+        )
+    else:
+        step_fn = make_train_step_from_table(model, cfg, obj_models, mesh)
 
     rng = np.random.default_rng(0)
-    b = cfg.train.batch_size
+    b = cfg.train.batch_size * spc  # rows consumed per dispatch
     iters = 30
     n = b * iters
     table = jax.device_put(
