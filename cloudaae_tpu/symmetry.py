@@ -447,17 +447,34 @@ def detect_view_symmetries(
             if closed:
                 accepted.append(R)
 
-    # close under composition with the geometric group (and the accepted
-    # set), largest-frac first; duplicates never change a min-over-group
+    # Close the assembled set (geometric ∪ view-accepted) under
+    # composition, to a fixpoint or the table cap.  This matters even
+    # with NO view-accepted elements: the geometric detector admits
+    # refined grid candidates — rotations about the PCA axes plus flips
+    # about at most two diameters — which is not a group.  A can's C16 +
+    # 2 flips misses the other 14 flip diameters, and a prediction
+    # flipped about one of THOSE would score ~90-180 deg under
+    # min-over-group despite being symmetry-equivalent.  Every element
+    # here passed a symmetry test, and true symmetries compose to true
+    # symmetries.
     table = list(group)
-    frontier = list(accepted)
-    for V in frontier:
-        for G in group:
-            for R in (V @ G, G @ V):
+    for V in accepted:
+        if len(table) < max_syms and not any(
+            _geodesic_deg(V, k) <= min_sep for k in table
+        ):
+            table.append(V.astype(np.float32))
+    changed = True
+    while changed and len(table) < max_syms:
+        changed = False
+        snapshot = list(table)
+        for A in snapshot:
+            for B in snapshot:
                 if len(table) >= max_syms:
                     break
+                R = A @ B
                 if not any(_geodesic_deg(R, k) <= min_sep for k in table):
                     table.append(R.astype(np.float32))
+                    changed = True
     while len(table) < max_syms:
         table.append(eye)
     return np.stack(table[:max_syms])

@@ -88,6 +88,24 @@ def test_recessed_can_flip_is_view_but_not_geometric():
     )
     # closure: flip composed with axial rotations grows the group
     assert len(_flip_angles(view)) > len(_flip_angles(geo))
+    # and the emitted table is actually CLOSED under composition (up to
+    # the cap): for a can, flip x C_n = flips about every diameter — a
+    # frontier-only closure once missed these, capping the metric at
+    # ~90-180 deg for predictions flipped about a non-PCA diameter
+    eye = np.eye(3, dtype=np.float32)
+    elems = [R for R in view if symmetry._geodesic_deg(R, eye) > 1.0]
+    n_free = 32 - 1 - len(elems)  # identity-padding slots left
+    missing = 0
+    for A in elems:
+        for B in elems:
+            R = A @ B
+            if all(
+                symmetry._geodesic_deg(R, k) > 11.25
+                for k in [eye] + elems
+            ):
+                missing += 1
+    # either closed, or the cap was hit (no free slots to close into)
+    assert missing == 0 or n_free == 0, (missing, n_free)
 
 
 def test_finned_can_axial_rotations_stay_rejected():
