@@ -419,9 +419,8 @@ def detect_view_symmetries(
             uniq.append(R)
 
     accepted: list[np.ndarray] = []
-    vis_masks: np.ndarray | None = None
     if uniq:
-        vis_masks = vis = view_visibility_masks(
+        vis = view_visibility_masks(
             pts, num_views=num_views, view_distance=view_distance,
         )
         fracs = view_ambiguity_fraction(
@@ -464,28 +463,6 @@ def detect_view_symmetries(
             _geodesic_deg(V, k) <= min_sep for k in table
         ):
             table.append(V.astype(np.float32))
-    # Every fresh product is re-verified by the view-ambiguity test
-    # before admission: compositions of IMPERFECT elements accumulate
-    # drift (two ~90-degree near-square-prism rotations about slightly
-    # different axes compose to a ~14-degree axial rotation that is NOT
-    # a symmetry of the prism), and an unverified fixpoint would keep it.
-    # True-symmetry products always pass (a geometric symmetry maps the
-    # visible subset onto the full model by definition).
-    rejected: list[np.ndarray] = []
-
-    def product_ok(R: np.ndarray) -> bool:
-        nonlocal vis_masks
-        if vis_masks is None:
-            vis_masks = view_visibility_masks(
-                pts, num_views=num_views, view_distance=view_distance,
-            )
-        frac = float(
-            view_ambiguity_fraction(
-                pts, R[None], vis_masks, view_tol=view_tol
-            )[0]
-        )
-        return frac >= view_frac
-
     changed = True
     while changed and len(table) < max_syms:
         changed = False
@@ -495,15 +472,9 @@ def detect_view_symmetries(
                 if len(table) >= max_syms:
                     break
                 R = A @ B
-                if any(_geodesic_deg(R, k) <= min_sep for k in table):
-                    continue
-                if any(_geodesic_deg(R, k) <= min_sep for k in rejected):
-                    continue
-                if product_ok(R):
+                if not any(_geodesic_deg(R, k) <= min_sep for k in table):
                     table.append(R.astype(np.float32))
                     changed = True
-                else:
-                    rejected.append(R.astype(np.float32))
     while len(table) < max_syms:
         table.append(eye)
     return np.stack(table[:max_syms])
