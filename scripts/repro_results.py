@@ -21,42 +21,50 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # The flagship full-SO(3) checkpoint: 90-epoch --generate-poses
-# --rot-rep 6d --sym-loss run, completed at step 268200 (epochs 0-57 in
-# runs/21/6d/20260820-013359, resumed to completion in 20260820-052144;
-# see runs/train6d.out / train6d_resume.out).
-FLAGSHIP = "runs/21/6d/20260820-052144/params_latest.npz"
+# --rot-rep 6d --sym-loss run (epochs 0-57 in runs/21/6d/20260820-013359,
+# resumed to completion at step 268200 in 20260820-052144), finetuned in
+# round 4 for 14 epochs with the depth-view-extended symmetry loss
+# (--sym-view, lr 2e-4) to step ~309.9k in runs/21/6d/20260821-060344
+# (runs/train_ycb_ft.out).
+FLAGSHIP = "runs/21/6d/20260821-060344/params_latest.npz"
 
 ALL_CLASSES = [str(c) for c in range(21)]
 
 # The LINEMOD flagship: 13-class --dataset linemod --generate-poses
-# --rot-rep 6d --sym-loss run (40k steps, LINEMOD frustum camera; see
-# runs/linemod_train log and the run dir's config.json).
-LINEMOD_FLAGSHIP = "runs/13/6d/20260821-002939/params_latest.npz"
+# --rot-rep 6d --sym-loss run trained to the full per-class budget
+# (~168k steps == 1.65M samples/class, the YCB flagship's budget;
+# runs/train_lm_full*.out), + a 5-epoch --sym-view finetune
+# (runs/train_lm_ft.out).
+LINEMOD_FLAGSHIP = "runs/13/6d/20260821-072004/params_latest.npz"
 
 # name -> (script, artifact, extra args).  Each entry is one committed
 # command; sections concatenate into RESULTS.md in this order.
 MANIFEST = [
     # Each section renders its frames ONCE and evaluates them through the
-    # ICP-off and ICP-on forwards (paired columns, --icp both).
+    # ICP-off and ICP-on forwards (paired columns, --icp both).  The
+    # rotation metric is the min-over-group geodesic with the
+    # depth-view-extended symmetry groups (--sym-view,
+    # docs/VIEW_SYMMETRY.md); ICP is the gated multi-start refinement
+    # (EvalConfig.icp_accept_gate / icp_centroid_start).
     (
         "ycb-records",
         "scripts/eval_trained.py",
         FLAGSHIP,
         ["--classes", *ALL_CLASSES, "--frames", "50", "--sym-metric",
-         "--pose-source", "records", "--icp", "both"],
+         "--sym-view", "--pose-source", "records", "--icp", "both"],
     ),
     (
         "ycb-uniform",
         "scripts/eval_trained.py",
         FLAGSHIP,
         ["--classes", *ALL_CLASSES, "--frames", "50", "--sym-metric",
-         "--pose-source", "uniform", "--icp", "both"],
+         "--sym-view", "--pose-source", "uniform", "--icp", "both"],
     ),
     (
         "linemod",
         "scripts/eval_linemod.py",
         LINEMOD_FLAGSHIP,
-        ["--frames", "50", "--icp", "both"],
+        ["--frames", "50", "--icp", "both", "--sym-metric", "--sym-view"],
     ),
 ]
 
