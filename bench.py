@@ -46,7 +46,7 @@ def main():
     # overhead of the tunneled backend exactly as `train.py
     # --steps-per-call` does in the real loop (scripts/perf_probe.py for
     # the sizing)
-    spc = int(os.environ.get("CLOUDAAE_BENCH_SPC", "1"))
+    spc = int(os.environ.get("CLOUDAAE_BENCH_SPC", "8"))
     if spc > 1:
         step_fn = make_train_multistep_from_table(
             model, cfg, obj_models, mesh, steps_per_call=spc

@@ -108,7 +108,8 @@ def get_parser() -> argparse.ArgumentParser:
                             "TPU backends; an implementation choice, not "
                             "an architecture change")
     hyper.add_argument("--learning-rate", type=float, default=8e-4)
-    hyper.add_argument("--hpr-iters", type=int, default=8)
+    hyper.add_argument("--hpr-iters", type=int,
+                       default=config_mod.SynthConfig.hpr_iters)
     hyper.add_argument("--dp", type=int, default=-1)
     hyper.add_argument("--tp", type=int, default=1)
     hyper.add_argument("--log-every", type=int, default=100)
