@@ -89,10 +89,32 @@ def chamfer_microbench(iters: int = 100) -> dict:
     }
 
 
-# TPU v5e (v5 lite) public peak numbers: 197 TFLOP/s bf16 (394 TOPS int8),
-# 819 GB/s HBM bandwidth per chip.
-V5E_PEAK_BF16_FLOPS = 197e12
-V5E_PEAK_HBM_BYTES = 819e9
+# Public per-chip peak numbers (bf16 FLOP/s, HBM bytes/s) by device kind.
+# mfu_bench resolves the running backend's entry (ADVICE r4: hardcoding
+# v5e made the fractions silently wrong on any other backend) and labels
+# the output with the chip it assumed; unknown kinds report raw
+# FLOPs/bytes with null utilization fractions instead of wrong ones.
+_CHIP_PEAKS = {
+    # jax device_kind substrings -> (peak bf16 FLOP/s, peak HBM B/s)
+    "v5 lite": (197e12, 819e9),   # TPU v5e
+    "v5e": (197e12, 819e9),
+    "v5p": (459e12, 2765e9),
+    "v4": (275e12, 1228e9),
+    "v6 lite": (918e12, 1640e9),  # TPU v6e (Trillium)
+    "v6e": (918e12, 1640e9),
+}
+
+
+def _device_peaks() -> tuple[str, float | None, float | None]:
+    """(device_kind, peak bf16 FLOP/s, peak HBM B/s) for jax.devices()[0]."""
+    import jax
+
+    kind = jax.devices()[0].device_kind
+    low = kind.lower()
+    for frag, (flops, bw) in _CHIP_PEAKS.items():
+        if frag in low:
+            return kind, flops, bw
+    return kind, None, None
 
 
 def mfu_bench(iters: int = 20) -> dict:
@@ -164,19 +186,27 @@ def mfu_bench(iters: int = 20) -> dict:
     float(np.asarray(m["total_loss"]))
     dt = (time.perf_counter() - t0) / iters
 
+    kind, peak_flops, peak_bw = _device_peaks()
     out = {
         "metric": "train_step_mfu",
         "value": (
-            round(flops / dt / V5E_PEAK_BF16_FLOPS, 4)
-            if flops and np.isfinite(flops) else None
+            round(flops / dt / peak_flops, 4)
+            if flops and np.isfinite(flops) and peak_flops else None
         ),
-        "unit": "fraction of 197 TFLOP/s v5e bf16 peak (XLA cost model)",
+        "unit": (
+            f"fraction of {kind} bf16 peak "
+            f"({(peak_flops or 0) / 1e12:.0f} TFLOP/s, XLA cost model)"
+            if peak_flops else
+            f"unknown device kind {kind!r}: raw FLOPs/bytes only"
+        ),
+        "device_kind": kind,
         "step_ms": round(dt * 1000, 2),
         "flops_per_step": flops,
         "bytes_per_step": bytes_accessed,
         "hbm_bw_util": (
-            round(bytes_accessed / dt / V5E_PEAK_HBM_BYTES, 4)
-            if bytes_accessed and np.isfinite(bytes_accessed) else None
+            round(bytes_accessed / dt / peak_bw, 4)
+            if bytes_accessed and np.isfinite(bytes_accessed) and peak_bw
+            else None
         ),
     }
     if out["value"] is not None and out["hbm_bw_util"] is not None:
@@ -191,6 +221,81 @@ def mfu_bench(iters: int = 20) -> dict:
     return out
 
 
+def batch_scaling_bench(
+    batch_sizes: tuple[int, ...] = (128, 256, 512), iters: int = 20
+) -> dict:
+    """samples/sec of the fused train step across batch sizes.
+
+    The round-4 roofline (mfu_bench) put the B=128 step far from both
+    walls — VPU/serial-limited — which predicts super-linear samples/sec
+    scaling with batch (VERDICT r4 #6).  The training recipe stays B=128
+    for reference parity (train_cloudAAE_ycbv.py:448); this measures the
+    capability headline (poses/sec/chip) and sizes future perf work.
+    """
+    import dataclasses
+
+    import jax
+
+    from cloudaae_tpu.config import Config
+    from cloudaae_tpu.data import load_object_models
+    from cloudaae_tpu.models import make_model
+    from cloudaae_tpu.parallel import (
+        create_train_state,
+        make_mesh,
+        make_train_step_from_table,
+    )
+
+    obj = load_object_models(
+        "/root/reference/object_model_tfrecord/obj_models.tfrecords"
+    )
+    mesh = make_mesh(dp=-1, tp=1)
+    rng = np.random.default_rng(0)
+    points = []
+    for b in batch_sizes:
+        cfg = Config()
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, batch_size=b)
+        )
+        model = make_model(cfg.model)
+        state = create_train_state(model, cfg, jax.random.key(0))
+        step_fn = make_train_step_from_table(model, cfg, obj, mesh)
+        n = b * (iters + 3)
+        table = jax.device_put(
+            (
+                np.concatenate(
+                    [rng.normal(0, 0.04, (n, 2)),
+                     rng.uniform(0.6, 0.9, (n, 1))], axis=1,
+                ).astype(np.float32),
+                rng.normal(0, 1.2, (n, 3)).astype(np.float32),
+                rng.integers(0, cfg.model.num_class, n).astype(np.int32),
+            )
+        )
+        key = jax.random.key(1)
+        for i in range(3):
+            state, m = step_fn(state, table, np.asarray(i * b, np.int32), key)
+        float(np.asarray(m["total_loss"]))  # honest barrier
+        t0 = time.perf_counter()
+        for i in range(iters):
+            state, m = step_fn(
+                state, table, np.asarray((3 + i) * b, np.int32), key
+            )
+        float(np.asarray(m["total_loss"]))
+        dt = (time.perf_counter() - t0) / iters
+        points.append(
+            {"batch": b, "step_ms": round(dt * 1000, 2),
+             "samples_per_sec": round(b / dt, 1)}
+        )
+        del state, table
+    base = points[0]["samples_per_sec"]
+    return {
+        "metric": "batch_scaling",
+        "value": points[-1]["samples_per_sec"],
+        "unit": f"samples/sec at B={batch_sizes[-1]} "
+                f"(x{points[-1]['samples_per_sec'] / base:.2f} vs B={batch_sizes[0]})",
+        "points": points,
+    }
+
+
 def main():
     # 1. headline (runs in this process's TPU context)
     import bench
@@ -198,6 +303,8 @@ def main():
     bench.main()
     # 1b. roofline placement of the same step
     print(json.dumps(mfu_bench()))
+    # 1c. batch-size scaling of the same step (VERDICT r4 #6)
+    print(json.dumps(batch_scaling_bench()))
     # 2. synthesis-only
     print(json.dumps(synth_bench()))
     # 3. inference

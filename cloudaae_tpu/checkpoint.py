@@ -170,6 +170,47 @@ def transfer_encoder(src_state: Any, dst_state: Any) -> Any:
     )
 
 
+def transfer_compatible(
+    src_params: Any, src_stats: Any, dst_state: Any
+) -> tuple[Any, list[str]]:
+    """Warm-start across an architecture change: copy every param/stat leaf
+    whose tree path AND shape match; leave the rest freshly initialized.
+
+    The generalization of :func:`transfer_encoder` for head-shape changes —
+    e.g. growing the rotation head to k hypotheses
+    (ModelConfig.num_rot_hyp) keeps the encoder, decoder, translation
+    head, and rot-head hidden layers while only ``rot_head/fc_out`` (whose
+    output dim changed) re-initializes.  Returns ``(new_state, skipped)``
+    where ``skipped`` lists the destination paths left fresh.
+    """
+    import dataclasses
+
+    from flax import traverse_util
+
+    skipped: list[str] = []
+
+    def merge(src_tree, dst_tree, prefix):
+        src_flat = traverse_util.flatten_dict(src_tree)
+        dst_flat = dict(traverse_util.flatten_dict(dst_tree))
+        for path, leaf in dst_flat.items():
+            cand = src_flat.get(path)
+            if cand is not None and tuple(np.shape(cand)) == tuple(
+                np.shape(leaf)
+            ):
+                dst_flat[path] = jax.numpy.asarray(
+                    np.asarray(cand), np.asarray(leaf).dtype
+                )
+            else:
+                skipped.append(prefix + "/" + "/".join(map(str, path)))
+        return traverse_util.unflatten_dict(dst_flat)
+
+    params = merge(src_params, dst_state.params, "params")
+    stats = merge(src_stats, dst_state.batch_stats, "batch_stats")
+    return dataclasses.replace(
+        dst_state, params=params, batch_stats=stats
+    ), skipped
+
+
 # ------------------------------------------------------- TF-name mapping
 
 # flax module path fragments -> TF variable scopes

@@ -205,10 +205,27 @@ class ModelConfig:
     # (--generate-poses); '6d' removes that obstruction.  The loss/metrics
     # are geodesic on the resulting matrix either way.
     rot_rep: str = "axag"
+    # Multi-hypothesis rotation head: predict k rotation hypotheses plus k
+    # confidence logits from the same FC trunk (the reference's single
+    # 1024-512-256-3 head, models/pointnet_ycb_23_decoder_4.py:443-449,
+    # generalized to k outputs).  Trained with a relaxed winner-take-all
+    # min-over-hypotheses loss (symmetry.rotation_error_multihyp) so the
+    # hypotheses specialize to the discrete modes of view-dependent pose
+    # ambiguities (a pitcher whose handle is hidden from some views) that
+    # per-class global symmetry groups cannot express.  k = 1 is exactly
+    # the reference head (no confidence logits, identical parameter tree).
+    num_rot_hyp: int = 1
+
+    @property
+    def rot_rep_dim(self) -> int:
+        return {"axag": 3, "6d": 6}[self.rot_rep]
 
     @property
     def rot_out_dim(self) -> int:
-        return {"axag": 3, "6d": 6}[self.rot_rep]
+        if self.num_rot_hyp == 1:
+            return self.rot_rep_dim
+        # k hypothesis blocks followed by k confidence logits
+        return self.num_rot_hyp * (self.rot_rep_dim + 1)
 
     @property
     def input_channels(self) -> int:
@@ -241,6 +258,17 @@ class LossConfig:
     sym_view: bool = False
     sym_view_tol: float = 1.6  # per-view residual bound, spacing units
     sym_view_frac: float = 0.6 # min fraction of ambiguous views to accept
+    # Multi-hypothesis rotation loss (ModelConfig.num_rot_hyp > 1):
+    # relaxed winner-take-all — per sample the rotation term is
+    # (1 - hyp_relax) * min-over-hypotheses + hyp_relax * mean-over-
+    # hypotheses (the epsilon share keeps losing hypotheses trainable
+    # instead of dead, cf. Rupprecht et al. ICCV 2017), plus
+    # hyp_conf_weight * softmax-CE of the confidence logits against the
+    # stop-gradient winner index.  With hyp_relax = 0 and collapsed
+    # hypotheses the term equals the single-hypothesis loss exactly
+    # (tests/test_multihyp.py).
+    hyp_relax: float = 0.05
+    hyp_conf_weight: float = 0.1
 
 
 @dataclasses.dataclass(frozen=True)

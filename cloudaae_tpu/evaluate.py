@@ -180,15 +180,41 @@ def make_eval_forward(model, cfg: Config, obj_models: np.ndarray, icp: bool,
         recon_res, rot_pred, trans_res, _ = model.apply(variables, net_in)
         recon = recon_res[0] + mean
         trans_pred = trans_res[0] + mean
-        R_pred = so3.head_to_mat(rot_pred[0], cfg.model.rot_rep)
+        model_pts = jnp.asarray(obj_models_np)[cls]
+        k_hyp = cfg.model.num_rot_hyp
+        if k_hyp > 1:
+            # multi-hypothesis head: pick ONE hypothesis before any metric.
+            # With the ICP acceptance gate the selector is the trimmed
+            # model->segment alignment residual (the same evidence that
+            # gates refinement); without it, the trained confidence head.
+            hyps, conf = so3.split_hypotheses(
+                rot_pred[0], cfg.model.rot_rep_dim, k_hyp
+            )
+            R_all = so3.head_to_mat(hyps, cfg.model.rot_rep)  # (k, 3, 3)
+            if icp and cfg.eval.icp_accept_gate:
+                from cloudaae_tpu.ops.icp import alignment_residual
+
+                res_h = jax.vmap(
+                    lambda Rh: alignment_residual(
+                        model_pts, seg_full, Rh, trans_pred,
+                        segment_mask=seg_full_mask,
+                        keep_frac=cfg.eval.icp_gate_keep_frac,
+                    )
+                )(R_all)
+                sel = jnp.argmin(res_h)
+            else:
+                sel = jnp.argmax(conf)
+            R_pred = R_all[sel]
+        else:
+            R_pred = so3.head_to_mat(rot_pred[0], cfg.model.rot_rep)
         # report axis-angle regardless of head representation (the
         # reference's output convention, evaluate_cloudAAE_ycbv.py:571-603)
-        rot_axag = (rot_pred[0] if cfg.model.rot_rep == "axag"
+        rot_axag = (rot_pred[0]
+                    if cfg.model.rot_rep == "axag" and k_hyp == 1
                     else so3.log_map(R_pred)[0])
 
         # recon FPS to N (reference :450) and chamfer vs the clean HPR
         # visible segment of the gt-posed model (:328-332,430-432,452)
-        model_pts = jnp.asarray(obj_models_np)[cls]
         posed_gt = so3.transform_points(model_pts, R_gt, trans_gt)
         clean_vis, _, _ = hidden_point_removal(
             posed_gt, cfg.synth.num_input_points, key, cfg.synth.hpr_param,

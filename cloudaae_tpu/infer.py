@@ -97,9 +97,23 @@ class Predictor:
             recon_res, rot_raw, trans_res, _ = self.model.apply(
                 variables, net_in
             )
-            R = so3.head_to_mat(rot_raw, cfg.model.rot_rep)
-            rot_axag = (rot_raw if cfg.model.rot_rep == "axag"
-                        else so3.log_map(R)[0])
+            k_hyp = cfg.model.num_rot_hyp
+            if k_hyp > 1:
+                # confidence-selected hypothesis (trained against the
+                # winner-take-all winner, parallel/train_step.py)
+                hyps, conf = so3.split_hypotheses(
+                    rot_raw, cfg.model.rot_rep_dim, k_hyp
+                )
+                R_all = so3.head_to_mat(hyps, cfg.model.rot_rep)
+                sel = jnp.argmax(conf, axis=-1)
+                R = jnp.take_along_axis(
+                    R_all, sel[:, None, None, None], axis=1
+                )[:, 0]
+                rot_axag = so3.log_map(R)[0]
+            else:
+                R = so3.head_to_mat(rot_raw, cfg.model.rot_rep)
+                rot_axag = (rot_raw if cfg.model.rot_rep == "axag"
+                            else so3.log_map(R)[0])
             t = trans_res + mean
             recon = recon_res + mean[:, None]
             return R, t, rot_axag, recon

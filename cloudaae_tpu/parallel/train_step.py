@@ -151,16 +151,44 @@ def _forward_and_losses(
 
     xyz_loss, xyz_per = chamfer_loss(recon, target)
     trans_loss, trans_per = so3.translation_error(trans_pred, translation)
-    R_pred = so3.head_to_mat(rot_pred, cfg.model.rot_rep)
-    axag_loss, axag_per = so3.rotation_error_mat(R_pred, axisangle)
-    if sym_rots is not None:
+    k = cfg.model.num_rot_hyp
+    conf_loss = None
+    sym_per = None
+    if k > 1:
         from cloudaae_tpu import symmetry
 
-        rot_loss, _ = symmetry.rotation_error_sym_mat(
-            R_pred, axisangle, jnp.asarray(sym_rots)[class_id]
+        hyps, conf = so3.split_hypotheses(rot_pred, cfg.model.rot_rep_dim, k)
+        R_hyps = so3.head_to_mat(hyps, cfg.model.rot_rep)  # (B, k, 3, 3)
+        sym = (jnp.asarray(sym_rots)[class_id]
+               if sym_rots is not None else None)
+        rot_loss, sym_per, winner = symmetry.rotation_error_multihyp(
+            R_hyps, axisangle, sym, relax=cfg.loss.hyp_relax
         )
+        # confidence head: softmax CE against the stop-gradient winner so
+        # inference can select the hypothesis without the ground truth
+        conf_ce = optax.softmax_cross_entropy_with_integer_labels(
+            conf.astype(jnp.float32), jax.lax.stop_gradient(winner)
+        )
+        conf_loss = jnp.mean(conf_ce)
+        rot_loss = rot_loss + cfg.loss.hyp_conf_weight * conf_loss
+        # metrics use the pose the model would OUTPUT: the confidence
+        # argmax (evaluate/infer selection), not the oracle winner
+        sel = jnp.argmax(conf, axis=-1)
+        R_pred = jnp.take_along_axis(
+            R_hyps, sel[:, None, None, None], axis=1
+        )[:, 0]
+        axag_loss, axag_per = so3.rotation_error_mat(R_pred, axisangle)
     else:
-        rot_loss = axag_loss
+        R_pred = so3.head_to_mat(rot_pred, cfg.model.rot_rep)
+        axag_loss, axag_per = so3.rotation_error_mat(R_pred, axisangle)
+        if sym_rots is not None:
+            from cloudaae_tpu import symmetry
+
+            rot_loss, sym_per = symmetry.rotation_error_sym_mat(
+                R_pred, axisangle, jnp.asarray(sym_rots)[class_id]
+            )
+        else:
+            rot_loss = axag_loss
 
     total = (
         cfg.loss.chamfer_weight * xyz_loss
@@ -184,8 +212,14 @@ def _forward_and_losses(
         "num_vis_in_mean": jnp.mean(synth["num_vis_in"].astype(jnp.float32)),
         "num_vis_org_mean": jnp.mean(synth["num_vis_org"].astype(jnp.float32)),
     }
-    if sym_rots is not None:
-        metrics["axag_sym_loss"] = rot_loss
+    if sym_rots is not None and sym_per is not None:
+        # the interpretable rotation quantity: min over hypotheses (k > 1)
+        # and symmetry group (== the sym geodesic for k = 1)
+        metrics["axag_sym_loss"] = jnp.mean(sym_per)
+    if conf_loss is not None:
+        # k > 1 only: min-over-hypotheses geodesic + confidence CE
+        metrics["axag_hyp_min"] = jnp.mean(sym_per)
+        metrics["conf_ce"] = conf_loss
     return total, new_stats, metrics, (recon, rot_pred, trans_pred)
 
 

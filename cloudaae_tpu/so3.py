@@ -187,6 +187,26 @@ def head_to_mat(rot: jnp.ndarray, rep: str) -> jnp.ndarray:
     raise ValueError(f"unknown rotation representation {rep!r}")
 
 
+def split_hypotheses(
+    rot: jnp.ndarray, rep_dim: int, k: int
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Multi-hypothesis rot-head output -> (hypotheses, confidence logits).
+
+    The head emits ``(..., k * (rep_dim + 1))``: k representation blocks
+    (axis-angle or 6d, ModelConfig.rot_rep) followed by k confidence
+    logits.  Returns ``((..., k, rep_dim), (..., k))``.  For k = 1 the
+    head emits plain ``(..., rep_dim)`` (the reference layout,
+    models/pointnet_ycb_23_decoder_4.py:443-449) and the confidence is a
+    zero logit.
+    """
+    if k == 1:
+        hyps = rot[..., None, :]
+        return hyps, jnp.zeros(rot.shape[:-1] + (1,), rot.dtype)
+    hyps = rot[..., : k * rep_dim].reshape(*rot.shape[:-1], k, rep_dim)
+    conf = rot[..., k * rep_dim :]
+    return hyps, conf
+
+
 def translation_error(pred: jnp.ndarray, label: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Euclidean translation error; mirrors ``losses/trans_distance.py:4-9``.
 

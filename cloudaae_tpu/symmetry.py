@@ -639,6 +639,53 @@ def rotation_error_sym(
     return rotation_error_sym_mat(so3.exp_map(pred_axag), label_axag, sym_rots)
 
 
+def rotation_error_multihyp(
+    R_hyps: jnp.ndarray,
+    label_axag: jnp.ndarray,
+    sym_rots: jnp.ndarray | None = None,
+    relax: float = 0.0,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Relaxed winner-take-all min-over-hypotheses geodesic rotation loss.
+
+    The multi-hypothesis generalization of :func:`rotation_error_sym_mat`
+    for a k-hypothesis rotation head (ModelConfig.num_rot_hyp): per sample
+    each hypothesis scores its min-over-symmetry-group geodesic to the
+    label, the winner is the lowest-scoring hypothesis, and the loss is
+    ``(1 - relax) * winner + relax * mean-over-hypotheses`` — the epsilon
+    share keeps losing hypotheses trainable (relaxed WTA, Rupprecht et al.
+    ICCV 2017) while the min lets hypotheses specialize to the discrete
+    modes of view-dependent pose ambiguities that per-class global
+    symmetry groups cannot express (docs/VIEW_SYMMETRY.md).
+
+    Args:
+      R_hyps: (B, k, 3, 3) hypothesis rotation matrices.
+      label_axag: (B, 3) ground-truth axis-angle.
+      sym_rots: optional (B, S, 3, 3) symmetry rotations per sample.
+      relax: epsilon share of the mean-over-hypotheses term.
+    Returns:
+      (loss_mean, per_sample_min (B,), winner (B,) int32).  With collapsed
+      (identical) hypotheses the loss equals the k = 1 loss for any relax;
+      with relax = 0 it is the plain WTA min.
+    """
+    R_gt = so3.exp_map(label_axag)  # (B, 3, 3)
+    if sym_rots is None:
+        theta = so3.geodesic_angle(R_hyps, R_gt[:, None])  # (B, k)
+    else:
+        R_equiv = jnp.einsum(
+            "bij,bsjk->bsik", R_gt, sym_rots, precision="highest"
+        )  # (B, S, 3, 3)
+        theta = so3.geodesic_angle(
+            R_hyps[:, :, None], R_equiv[:, None]
+        )  # (B, k, S)
+        theta = jnp.min(theta, axis=-1)  # (B, k)
+    per_min = jnp.min(theta, axis=-1)
+    winner = jnp.argmin(theta, axis=-1).astype(jnp.int32)
+    per_loss = per_min
+    if relax:
+        per_loss = (1.0 - relax) * per_min + relax * jnp.mean(theta, axis=-1)
+    return jnp.mean(per_loss), per_min, winner
+
+
 def rotation_error_sym_mat(
     R_pred: jnp.ndarray,
     label_axag: jnp.ndarray,

@@ -88,6 +88,13 @@ def get_parser() -> argparse.ArgumentParser:
     train_opts.add_argument("--transfer-encoder", default=None,
                             help="checkpoint dir whose encoder initializes "
                                  "this run (partial restore)")
+    train_opts.add_argument("--transfer-compatible", default=None,
+                            help="run dir (or params npz) whose shape-"
+                                 "compatible leaves warm-start this run; "
+                                 "leaves whose path/shape differ — e.g. a "
+                                 "rot head grown to --rot-hyp k — stay "
+                                 "freshly initialized "
+                                 "(checkpoint.transfer_compatible)")
 
     hyper = p.add_argument_group("hyperparameters")
     hyper.add_argument("--batch-size", type=int, default=128)
@@ -101,6 +108,17 @@ def get_parser() -> argparse.ArgumentParser:
                             "continuous Gram-Schmidt representation "
                             "(so3.rot6d_to_mat) — use with "
                             "--generate-poses for full-SO(3) coverage")
+    hyper.add_argument("--rot-hyp", type=int,
+                       default=config_mod.ModelConfig.num_rot_hyp,
+                       help="rotation hypotheses k: the head predicts k "
+                            "rotations + k confidence logits, trained with "
+                            "a relaxed winner-take-all min-over-hypotheses "
+                            "symmetry-aware loss "
+                            "(symmetry.rotation_error_multihyp) — the "
+                            "structural fix for view-dependent partial "
+                            "ambiguities (pitcher/mug handles) that per-"
+                            "class symmetry groups cannot express; k=1 is "
+                            "the reference head")
     hyper.add_argument("--edgeconv-fused", default="auto",
                        choices=["auto", "on", "off"],
                        help="fused Pallas edge-conv kernels "
@@ -157,7 +175,7 @@ def config_from_args(args) -> Config:
             apply_preset(cfg.model, args.model),
             num_point=args.num_point,
             compute_dtype=args.compute_dtype, num_class=num_class,
-            rot_rep=args.rot_rep,
+            rot_rep=args.rot_rep, num_rot_hyp=args.rot_hyp,
             edgeconv_fused={"auto": None, "on": True, "off": False}[
                 args.edgeconv_fused
             ],
@@ -294,6 +312,18 @@ def main(argv=None):
         src = checkpoint.restore(args.transfer_encoder, state)
         state = checkpoint.transfer_encoder(src, state)
         log.log_string(f"encoder transferred from {args.transfer_encoder}")
+    if args.transfer_compatible:
+        src_path = args.transfer_compatible
+        if not src_path.endswith(".npz"):
+            src_path = os.path.join(src_path, "params_latest.npz")
+        src_params, src_stats, src_step = checkpoint.load_params(src_path)
+        state, skipped = checkpoint.transfer_compatible(
+            src_params, src_stats, state
+        )
+        log.log_string(
+            f"warm start from {src_path} (step {src_step}); "
+            f"fresh leaves: {skipped or 'none'}"
+        )
     with mesh:
         state = shard_state(mesh, state)
 
@@ -348,7 +378,10 @@ def main(argv=None):
             )
             step += spc
             steps_this_process += spc
-            if step % cfg.train.log_every == 0:
+            # with K-step dispatch the counter advances in increments of K:
+            # fire when the window [step-K, step] crosses a multiple of
+            # log_every (`% == 0` alone would skip to lcm(K, log_every))
+            if step % cfg.train.log_every < spc:
                 m = jax.device_get(m)
                 log.step(step, epoch, m)
                 sym = (f" sym {float(m['axag_sym_loss']):.4f}"
@@ -359,7 +392,7 @@ def main(argv=None):
                     f"trans {float(m['trans_loss']):.4f} "
                     f"axag {float(m['axag_loss']):.4f}{sym}"
                 )
-            if step % cfg.train.summary_every == 0:
+            if step % cfg.train.summary_every < spc:
                 log.flush_per_class(step)
             if args.max_steps and step >= args.max_steps:
                 break

@@ -31,6 +31,38 @@ LINEMOD_CLASS_NAMES = [
 ]
 
 
+def _gate_note(cfg, args) -> str:
+    """ICP-gate + head provenance sentence for the section header (ADVICE
+    r4 #2: gated multi-start ICP deviates from the reference's
+    unconditional refinement, evaluate_cloudAAE_ycbv.py:606-624 — readers
+    must be able to tell gated from reference-style ICP columns)."""
+    e = cfg.eval
+    note = (
+        f"  ICP gate: accept_gate={e.icp_accept_gate}, "
+        f"centroid_start={e.icp_centroid_start}, "
+        f"keep_frac={e.icp_gate_keep_frac} "
+        "(gated multi-start; the reference applies ICP unconditionally)."
+    )
+    k = cfg.model.num_rot_hyp
+    if k > 1:
+        note += (
+            f"  Rotation head: {k} hypotheses (selection: confidence "
+            "argmax; under the ICP gate: trimmed alignment residual)."
+        )
+    return note
+
+
+def _gate_dict(cfg) -> dict:
+    e = cfg.eval
+    return {
+        "icp_accept_gate": e.icp_accept_gate,
+        "icp_centroid_start": e.icp_centroid_start,
+        "icp_gate_keep_frac": e.icp_gate_keep_frac,
+        "icp_iterations": e.icp_iterations,
+        "num_rot_hyp": cfg.model.num_rot_hyp,
+    }
+
+
 def synth_records(obj_models, cfg, frames_per_class, seed, num_class):
     """Sim-to-sim converted records: posed model -> HPR visible -> noise
     -> FPS512, LINEMOD-frustum poses."""
@@ -139,9 +171,9 @@ def main():
             max_syms=32 if args.sym_view else 16,
             view_sym=args.sym_view,
         )[: cfg.model.num_class]
-        counts = symmetry.num_symmetries(sym_rots)
+        _sym_counts = symmetry.num_symmetries(sym_rots)
         print("symmetry group sizes:",
-              {c: int(counts[c]) for c in range(cfg.model.num_class)},
+              {c: int(_sym_counts[c]) for c in range(cfg.model.num_class)},
               flush=True)
 
     recs = synth_records(obj_models, cfg, args.frames, args.seed,
@@ -205,8 +237,24 @@ def main():
             "models are the 13-class stand-in table from the run config), "
             "evaluated through evaluate.evaluate_converted — the identical "
             "path real converted records take.  ICP: "
-            f"{'paired off/on columns (same records)' if args.icp == 'both' else args.icp}.\n\n"
+            f"{'paired off/on columns (same records)' if args.icp == 'both' else args.icp}."
+            f"{_gate_note(cfg, args)}\n\n"
         )
+        if sym_rots is not None:
+            counts = [int(c) for c in _sym_counts]
+            sym_cls = [f"{c} {LINEMOD_CLASS_NAMES[c]} ({counts[c]})"
+                       for c in range(cfg.model.num_class) if counts[c] > 1]
+            if sym_cls:
+                f.write(
+                    "Caveat: single-GT ADD / ADD<0.1d are metric-blind on "
+                    "SYMMETRIC stand-in geometries — the flips the "
+                    "symmetry-aware loss correctly forgives dominate the "
+                    "column.  Symmetric stand-ins (group size): "
+                    + ", ".join(sym_cls)
+                    + ".  rot-sym and the ADD-S family (AUC-S) are the "
+                    "meaningful columns for those rows; plain ADD is "
+                    "meaningful only for the asymmetric stand-ins.\n\n"
+                )
         sym_hdr = " rot-sym (deg) |" if args.sym_metric else ""
         rot_icp_lbl = "rot-sym+ICP" if args.sym_metric else "rot+ICP"
         icp_hdr = (f" trans+ICP | {rot_icp_lbl} | ADD+ICP | ADD<0.1d+ICP |"
@@ -263,6 +311,7 @@ def main():
                 "ckpt": args.ckpt, "step": step, "icp": args.icp,
                 "frames_per_class": args.frames,
                 "sym_metric": args.sym_metric, "sym_view": args.sym_view,
+                "eval_gate": _gate_dict(cfg),
                 "classes": {
                     str(cls): {
                         "name": LINEMOD_CLASS_NAMES[cls],

@@ -210,6 +210,17 @@ def main():
             "add_auc": _num(r.add_auc), "add_s_auc": _num(r.add_s_auc),
         }
 
+    # ICP-gate + head provenance (ADVICE r4 #2: the gated multi-start ICP
+    # deviates from the reference's unconditional refinement — artifacts
+    # must say which protocol produced the '+ICP' columns)
+    eval_gate = {
+        "icp_accept_gate": cfg.eval.icp_accept_gate,
+        "icp_centroid_start": cfg.eval.icp_centroid_start,
+        "icp_gate_keep_frac": cfg.eval.icp_gate_keep_frac,
+        "icp_iterations": cfg.eval.icp_iterations,
+        "num_rot_hyp": cfg.model.num_rot_hyp,
+    }
+
     # machine-readable dump next to the markdown (repro_results consumers)
     with open(os.path.splitext(args.out)[0] + ".json", "w") as jf:
         json.dump(
@@ -217,6 +228,8 @@ def main():
                 "ckpt": args.ckpt, "step": step,
                 "pose_source": args.pose_source, "icp": args.icp,
                 "frames_per_class": args.frames,
+                "sym_metric": args.sym_metric, "sym_view": args.sym_view,
+                "eval_gate": eval_gate,
                 "classes": {
                     str(cls): {
                         "name": YCB_CLASS_NAMES[cls],
@@ -249,11 +262,25 @@ def main():
             "— the capability the reference's fixed 381k-record table "
             "cannot express, train_cloudAAE_ycbv.py:177)"
         )
+        gate_note = (
+            f"  ICP gate: accept_gate={cfg.eval.icp_accept_gate}, "
+            f"centroid_start={cfg.eval.icp_centroid_start}, "
+            f"keep_frac={cfg.eval.icp_gate_keep_frac} "
+            "(gated multi-start; the reference applies ICP "
+            "unconditionally)."
+        )
+        if cfg.model.num_rot_hyp > 1:
+            gate_note += (
+                f"  Rotation head: {cfg.model.num_rot_hyp} hypotheses "
+                "(selection: confidence argmax; under the ICP gate: "
+                "trimmed alignment residual)."
+            )
         f.write(
             f"Protocol: full real-data eval pipeline on {args.frames} "
             "z-buffer-rendered frames per class (depth noise sigma 2 mm); "
             f"{pose_note}. ICP: "
             f"{'paired off/on columns (same frames)' if args.icp == 'both' else args.icp}."
+            f"{gate_note}"
             "\n\n"
         )
         sym_hdr = " rot-sym (deg) |" if args.sym_metric else ""

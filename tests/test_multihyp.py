@@ -1,0 +1,172 @@
+"""Multi-hypothesis rotation head (ModelConfig.num_rot_hyp > 1).
+
+Covers the VERDICT r4 contract: the k-hypothesis loss equals the k = 1
+loss when hypotheses collapse; the winner-take-all min rewards any one
+correct hypothesis; the head/model plumbing (output dim, selection,
+warm-start transfer) round-trips.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cloudaae_tpu import checkpoint, so3, symmetry
+from cloudaae_tpu.config import Config, LossConfig, ModelConfig
+from cloudaae_tpu.models import make_model
+from cloudaae_tpu.parallel import create_train_state, make_train_step
+
+from test_train_step import NUM_CLASS, B, obj_models, pose_batch, tiny_config  # noqa: F401
+
+
+def _random_rots(rng, *shape):
+    from scipy.spatial.transform import Rotation
+
+    n = int(np.prod(shape))
+    return Rotation.random(n, random_state=rng).as_matrix().reshape(
+        *shape, 3, 3
+    ).astype(np.float32)
+
+
+def _sym_table(rng, b, s):
+    """Identity-padded per-sample symmetry groups (first entry identity)."""
+    tab = np.tile(np.eye(3, dtype=np.float32), (b, s, 1, 1))
+    tab[:, 1] = _random_rots(rng, b)  # one nontrivial symmetry
+    return tab
+
+
+def test_collapsed_hypotheses_equal_single_loss():
+    rng = np.random.default_rng(0)
+    b, k, s = 8, 4, 3
+    label = rng.normal(0, 1.0, (b, 3)).astype(np.float32)
+    R_one = _random_rots(rng, b)
+    R_hyps = jnp.asarray(np.repeat(R_one[:, None], k, axis=1))
+    sym = jnp.asarray(_sym_table(rng, b, s))
+
+    # any relax: with identical hypotheses min == mean == single loss
+    for relax in (0.0, 0.05, 0.5):
+        loss, per, winner = symmetry.rotation_error_multihyp(
+            R_hyps, jnp.asarray(label), sym, relax=relax
+        )
+        ref_loss, ref_per = symmetry.rotation_error_sym_mat(
+            jnp.asarray(R_one), jnp.asarray(label), sym
+        )
+        np.testing.assert_allclose(np.asarray(per), np.asarray(ref_per),
+                                   atol=1e-5)
+        np.testing.assert_allclose(float(loss), float(ref_loss), atol=1e-5)
+
+    # no symmetry table: reduces to the plain geodesic
+    loss, per, _ = symmetry.rotation_error_multihyp(
+        R_hyps, jnp.asarray(label), None, relax=0.0
+    )
+    ref_loss, ref_per = so3.rotation_error_mat(
+        jnp.asarray(R_one), jnp.asarray(label)
+    )
+    np.testing.assert_allclose(np.asarray(per), np.asarray(ref_per), atol=1e-5)
+
+
+def test_wta_min_rewards_any_correct_hypothesis():
+    rng = np.random.default_rng(1)
+    b, k = 6, 4
+    label = rng.normal(0, 1.0, (b, 3)).astype(np.float32)
+    R_gt = np.asarray(so3.exp_map(jnp.asarray(label)))
+    R_hyps = _random_rots(rng, b, k)
+    correct = rng.integers(0, k, b)
+    for i in range(b):
+        R_hyps[i, correct[i]] = R_gt[i]
+
+    loss, per, winner = symmetry.rotation_error_multihyp(
+        jnp.asarray(R_hyps), jnp.asarray(label), None, relax=0.0
+    )
+    np.testing.assert_allclose(np.asarray(per), 0.0, atol=2e-3)
+    assert np.array_equal(np.asarray(winner), correct)
+
+    # relax > 0 pulls in the losing hypotheses but keeps the min term
+    loss_r, per_r, _ = symmetry.rotation_error_multihyp(
+        jnp.asarray(R_hyps), jnp.asarray(label), None, relax=0.1
+    )
+    np.testing.assert_allclose(np.asarray(per_r), 0.0, atol=2e-3)
+    assert float(loss_r) > float(loss)
+
+
+def test_split_hypotheses_layout():
+    rng = np.random.default_rng(2)
+    k, d = 4, 6
+    rot = rng.normal(size=(2, k * (d + 1))).astype(np.float32)
+    hyps, conf = so3.split_hypotheses(jnp.asarray(rot), d, k)
+    assert hyps.shape == (2, k, d)
+    assert conf.shape == (2, k)
+    np.testing.assert_array_equal(np.asarray(hyps[0, 1]), rot[0, d:2 * d])
+    np.testing.assert_array_equal(np.asarray(conf), rot[:, k * d:])
+    # k = 1: passthrough + zero logit
+    h1, c1 = so3.split_hypotheses(jnp.asarray(rot[:, :d]), d, 1)
+    assert h1.shape == (2, 1, d)
+    np.testing.assert_array_equal(np.asarray(h1[:, 0]), rot[:, :d])
+    np.testing.assert_array_equal(np.asarray(c1), 0.0)
+
+
+def test_model_output_dim_multihyp():
+    cfg = ModelConfig(num_class=4, num_point=64, k_neighbor=4,
+                      edge_conv_channels=(16, 16), agg_channels=64,
+                      decoder_fc=(64,), head_fc=(32,),
+                      rot_rep="6d", num_rot_hyp=4)
+    assert cfg.rot_out_dim == 4 * 7
+    model = make_model(cfg)
+    x = jnp.zeros((2, 64, 3 + 4), jnp.float32)
+    variables = model.init(jax.random.key(0), x)
+    recon, rot, trans, _ = model.apply(variables, x)
+    assert rot.shape == (2, 28)
+    assert trans.shape == (2, 3)
+
+
+def test_transfer_compatible_across_head_change(obj_models):  # noqa: F811
+    cfg1 = tiny_config()
+    cfg4 = dataclasses.replace(
+        cfg1, model=dataclasses.replace(cfg1.model, num_rot_hyp=4)
+    )
+    m1, m4 = make_model(cfg1.model), make_model(cfg4.model)
+    s1 = create_train_state(m1, cfg1, jax.random.key(0))
+    s4 = create_train_state(m4, cfg4, jax.random.key(1))
+
+    new, skipped = checkpoint.transfer_compatible(
+        s1.params, s1.batch_stats, s4
+    )
+    # only the rot-head output layer (whose dim changed) stays fresh
+    assert skipped == ["params/rot_head/fc_out/dense/bias",
+                       "params/rot_head/fc_out/dense/kernel"] or set(
+        skipped
+    ) == {"params/rot_head/fc_out/dense/kernel",
+          "params/rot_head/fc_out/dense/bias"}
+    from flax import traverse_util
+
+    f1 = traverse_util.flatten_dict(s1.params)
+    fn = traverse_util.flatten_dict(new.params)
+    for path, leaf in fn.items():
+        if "fc_out" in str(path) and "rot_head" in str(path):
+            continue
+        np.testing.assert_array_equal(np.asarray(leaf),
+                                      np.asarray(f1[path]))
+
+
+def test_train_step_multihyp_runs(obj_models):  # noqa: F811
+    cfg = tiny_config()
+    cfg = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(cfg.model, num_rot_hyp=4, rot_rep="6d"),
+        loss=LossConfig(hyp_relax=0.05, hyp_conf_weight=0.1),
+    )
+    model = make_model(cfg.model)
+    state = create_train_state(model, cfg, jax.random.key(0))
+    step_fn = make_train_step(model, cfg, obj_models)
+    rng = np.random.default_rng(3)
+    batch = pose_batch(rng)
+    state, m = step_fn(state, batch, jax.random.key(1))
+    m = jax.device_get(m)
+    assert np.isfinite(m["total_loss"])
+    assert np.isfinite(m["conf_ce"])
+    assert np.isfinite(m["axag_hyp_min"])
+    # the hypothesis-min can never exceed the selected-hypothesis geodesic
+    assert m["axag_hyp_min"] <= m["axag_loss"] + 1e-5
