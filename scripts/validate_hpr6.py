@@ -1,16 +1,26 @@
 """Loss-trajectory gate for hpr_iters 8 -> 6 (the round-4 perf lead).
 
-Two fresh training runs from identical seeds — one with 8 HPR support-
-ascent iterations, one with 6 — compared on their loss trajectories.
-PASS = the hpr6 run's tail losses are within the noise envelope of the
-hpr8 run's (the knob changes the synthesized-data statistics slightly;
-what matters is that the network learns the same task at the same rate).
+Fresh training runs from identical seeds — one with 8 HPR support-ascent
+iterations, one with 6 — compared on their tail losses, plus a NOISE ARM:
+a second hpr8 run with a different synthesis key that measures honest
+run-to-run variation at the unchanged config.
+
+PASS criterion (VERDICT r4 #5 — the original 3-sigma-of-5-samples branch
+let a +10.7% relative drift pass because a descending 400-step trajectory
+has a large tail spread):
+
+  * the hpr8 tail must be SETTLED: the two halves of the tail window agree
+    within --settle-tol relative (else the run is too short and the gate
+    FAILS with instructions to lengthen it);
+  * per loss term, |relative drift of hpr6 vs hpr8| must be within
+    max(--rel-tol, --noise-mult x the noise arm's relative drift) — the
+    knob may not move the tail further than calibrated seed noise allows.
+
+    python scripts/validate_hpr6.py [--steps 2000]
 
 Also prints the per-op visibility quality from tests/test_hpr.py's IoU
 methodology at both settings (hull-oracle IoU on synthesized scenes is
 measured there on CPU; here we only gate the trajectory).
-
-    python scripts/validate_hpr6.py [--steps 400]
 """
 
 import argparse
@@ -23,8 +33,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
+LOSS_KEYS = ("total", "xyz", "trans", "axag")
 
-def run_one(hpr_iters: int, steps: int):
+
+def run_one(hpr_iters: int, steps: int, synth_seed: int = 3):
     import jax
 
     from cloudaae_tpu.config import Config
@@ -61,13 +73,13 @@ def run_one(hpr_iters: int, steps: int):
             rng.integers(0, cfg.model.num_class, n).astype(np.int32),
         )
     )
-    key = jax.random.key(3)
-    losses = {"total": [], "xyz": [], "trans": [], "axag": []}
+    key = jax.random.key(synth_seed)
+    losses = {k: [] for k in LOSS_KEYS}
     for i in range(steps):
         state, m = step_fn(state, table, np.asarray(i * b, np.int32), key)
         if (i + 1) % 20 == 0:
             host = {k: float(np.asarray(m[k + "_loss"]))
-                    for k in ("total", "xyz", "trans", "axag")}
+                    for k in LOSS_KEYS}
             for k, v in host.items():
                 losses[k].append(v)
     return losses
@@ -75,32 +87,61 @@ def run_one(hpr_iters: int, steps: int):
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--steps", type=int, default=400)
-    p.add_argument("--tail", type=int, default=5,
-                   help="trailing samples (x20 steps) to compare")
+    p.add_argument("--steps", type=int, default=2000)
+    p.add_argument("--tail-frac", type=float, default=0.25,
+                   help="trailing fraction of samples to compare")
+    p.add_argument("--rel-tol", type=float, default=0.05)
+    p.add_argument("--settle-tol", type=float, default=0.10,
+                   help="max relative disagreement between the two halves "
+                        "of the hpr8 tail for the run to count as settled")
+    p.add_argument("--noise-mult", type=float, default=2.0,
+                   help="the knob may drift up to this multiple of the "
+                        "noise arm's own relative drift")
     args = p.parse_args()
 
-    res = {it: run_one(it, args.steps) for it in (8, 6)}
-    report = {"steps": args.steps}
+    runs = {
+        "hpr8": run_one(8, args.steps, synth_seed=3),
+        "hpr6": run_one(6, args.steps, synth_seed=3),
+        # noise arm: unchanged knob, different synthesis key — calibrates
+        # honest run-to-run variation of the tail at this step count
+        "hpr8_seedB": run_one(8, args.steps, synth_seed=1003),
+    }
+    n_tail = max(2, int(len(runs["hpr8"]["total"]) * args.tail_frac))
+    report = {"steps": args.steps, "tail_samples": n_tail}
     ok = True
-    for k in ("total", "xyz", "trans", "axag"):
-        t8 = np.asarray(res[8][k][-args.tail:])
-        t6 = np.asarray(res[6][k][-args.tail:])
-        # noise envelope: the hpr8 run's own tail spread
-        spread = max(float(t8.std()), 1e-9)
-        delta = float(t6.mean() - t8.mean())
-        rel = delta / max(abs(float(t8.mean())), 1e-9)
-        pass_k = abs(delta) <= 3 * spread or abs(rel) <= 0.05
+    for k in LOSS_KEYS:
+        t8 = np.asarray(runs["hpr8"][k][-n_tail:])
+        t6 = np.asarray(runs["hpr6"][k][-n_tail:])
+        tb = np.asarray(runs["hpr8_seedB"][k][-n_tail:])
+        m8 = float(t8.mean())
+        denom = max(abs(m8), 1e-9)
+        # settledness: the tail's two halves must agree (else the
+        # trajectory is still descending and tail means are meaningless)
+        h = n_tail // 2
+        settle = abs(float(t8[h:].mean()) - float(t8[:h].mean())) / denom
+        settled = settle <= args.settle_tol
+        rel_knob = (float(t6.mean()) - m8) / denom
+        rel_noise = abs(float(tb.mean()) - m8) / denom
+        bound = max(args.rel_tol, args.noise_mult * rel_noise)
+        pass_k = settled and abs(rel_knob) <= bound
         report[k] = {
-            "hpr8_tail_mean": float(t8.mean()),
+            "hpr8_tail_mean": m8,
             "hpr6_tail_mean": float(t6.mean()),
-            "delta": delta,
-            "rel": rel,
-            "hpr8_tail_std": float(t8.std()),
+            "noise_arm_tail_mean": float(tb.mean()),
+            "rel_knob": rel_knob,
+            "rel_noise": rel_noise,
+            "bound": bound,
+            "settle_drift": settle,
+            "settled": bool(settled),
             "pass": bool(pass_k),
         }
         ok = ok and pass_k
     report["PASS"] = bool(ok)
+    if not all(report[k]["settled"] for k in LOSS_KEYS):
+        report["note"] = (
+            "tail not settled at this step count — lengthen --steps; a "
+            "descending trajectory's tail mean cannot gate the knob"
+        )
     print(json.dumps(report, indent=1))
 
 
