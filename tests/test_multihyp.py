@@ -170,3 +170,92 @@ def test_train_step_multihyp_runs(obj_models):  # noqa: F811
     assert np.isfinite(m["axag_hyp_min"])
     # the hypothesis-min can never exceed the selected-hypothesis geodesic
     assert m["axag_hyp_min"] <= m["axag_loss"] + 1e-5
+
+
+def test_eval_forward_selects_confidence_argmax(obj_models):  # noqa: F811
+    """ICP-off eval must report the confidence-selected hypothesis."""
+    from cloudaae_tpu import so3
+    from cloudaae_tpu.evaluate import make_eval_forward
+
+    cfg = tiny_config()
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, num_rot_hyp=4, rot_rep="6d")
+    )
+    model = make_model(cfg.model)
+    state = create_train_state(model, cfg, jax.random.key(0))
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    fwd = make_eval_forward(model, cfg, obj_models, icp=False)
+
+    rng = np.random.default_rng(5)
+    seg = jnp.asarray(
+        (obj_models[1][:64] + rng.normal(0, 0.001, (64, 3))
+         + np.array([0, 0, 0.7])).astype(np.float32)
+    )
+    quat = jnp.asarray(np.array([1.0, 0, 0, 0], np.float32))
+    tgt = jnp.asarray(np.array([0, 0, 0.7], np.float32))
+    out = fwd(variables, seg, seg, jnp.ones(64, bool), jnp.asarray(1),
+              quat, tgt, jax.random.key(2))
+    out = jax.device_get(out)
+    assert np.isfinite(out["axag_err"]) and np.isfinite(out["trans_err"])
+
+    # recompute the hypotheses by hand; the reported rot must be the
+    # confidence argmax
+    mean = jnp.mean(seg, axis=0)
+    onehot = jax.nn.one_hot(1, cfg.model.num_class)
+    net_in = jnp.concatenate(
+        [seg - mean, jnp.broadcast_to(onehot, (64, cfg.model.num_class))],
+        axis=-1,
+    )[None]
+    _, rot_pred, _, _ = model.apply(variables, net_in)
+    hyps, conf = so3.split_hypotheses(rot_pred[0], 6, 4)
+    R_all = np.asarray(so3.head_to_mat(hyps, "6d"))
+    R_sel = R_all[int(np.argmax(np.asarray(conf)))]
+    R_out = np.asarray(so3.exp_map(jnp.asarray(out["rot_pred"])))
+    np.testing.assert_allclose(R_out, R_sel, atol=2e-2)
+
+
+def test_eval_forward_multihyp_icp_gate_runs(obj_models):  # noqa: F811
+    """ICP-gate path: residual selection + multi-start refinement compile
+    and return finite metrics with a k=4 head."""
+    from cloudaae_tpu.evaluate import make_eval_forward
+
+    cfg = tiny_config()
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, num_rot_hyp=4, rot_rep="6d")
+    )
+    model = make_model(cfg.model)
+    state = create_train_state(model, cfg, jax.random.key(0))
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    fwd = make_eval_forward(model, cfg, obj_models, icp=True)
+
+    rng = np.random.default_rng(6)
+    seg = jnp.asarray(
+        (obj_models[2][:64] + rng.normal(0, 0.001, (64, 3))
+         + np.array([0, 0, 0.7])).astype(np.float32)
+    )
+    out = jax.device_get(
+        fwd(variables, seg, seg, jnp.ones(64, bool), jnp.asarray(2),
+            jnp.asarray(np.array([1.0, 0, 0, 0], np.float32)),
+            jnp.asarray(np.array([0, 0, 0.7], np.float32)),
+            jax.random.key(3))
+    )
+    for k in ("trans_err", "axag_err", "add", "add_s"):
+        assert np.isfinite(out[k]), k
+
+
+def test_cli_rot_hyp_plumbs_into_config():
+    from cloudaae_tpu.train import config_from_args, get_parser
+
+    args = get_parser().parse_args(
+        ["--rot-rep", "6d", "--rot-hyp", "4", "--generate-poses"]
+    )
+    cfg = config_from_args(args)
+    assert cfg.model.num_rot_hyp == 4
+    assert cfg.model.rot_out_dim == 28
+    # archived-config round trip rebuilds the same head
+    import dataclasses as dc
+
+    from cloudaae_tpu.config import config_from_dict
+
+    cfg2 = config_from_dict(dc.asdict(cfg))
+    assert cfg2.model.num_rot_hyp == 4
