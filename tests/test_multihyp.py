@@ -259,3 +259,30 @@ def test_cli_rot_hyp_plumbs_into_config():
 
     cfg2 = config_from_dict(dc.asdict(cfg))
     assert cfg2.model.num_rot_hyp == 4
+
+
+def test_predictor_hypotheses_surface(obj_models):  # noqa: F811
+    from cloudaae_tpu.infer import Predictor
+    from cloudaae_tpu.parallel import create_train_state as cts
+
+    cfg = tiny_config()
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, num_rot_hyp=4, rot_rep="6d")
+    )
+    model = make_model(cfg.model)
+    state = cts(model, cfg, jax.random.key(0))
+    pred = Predictor.from_state(state, cfg)
+    rng = np.random.default_rng(7)
+    segs = (obj_models[:2, :64] + np.array([0, 0, 0.7])).astype(np.float32)
+    R_all, conf, t = jax.device_get(
+        pred.predict_hypotheses(segs, np.array([0, 1], np.int32))
+    )
+    assert R_all.shape == (2, 4, 3, 3) and conf.shape == (2, 4)
+    np.testing.assert_allclose(conf.sum(-1), 1.0, atol=1e-5)
+    # the confidence-argmax hypothesis equals the built-in selection
+    R_sel, t_sel = pred(segs, np.array([0, 1], np.int32))
+    R_sel = np.asarray(R_sel)
+    for b in range(2):
+        np.testing.assert_allclose(
+            R_sel[b], R_all[b, int(np.argmax(conf[b]))], atol=1e-5
+        )
