@@ -119,6 +119,29 @@ class Predictor:
             return R, t, rot_axag, recon
 
         self._predict = _predict
+
+        @jax.jit
+        def _predict_hyps(variables, segments, class_ids):
+            mean = jnp.mean(segments, axis=1)
+            onehot = jax.nn.one_hot(class_ids, cfg.model.num_class)
+            net_in = jnp.concatenate(
+                [
+                    segments - mean[:, None],
+                    jnp.broadcast_to(
+                        onehot[:, None, :],
+                        (*segments.shape[:2], cfg.model.num_class),
+                    ),
+                ],
+                axis=-1,
+            )
+            _, rot_raw, trans_res, _ = self.model.apply(variables, net_in)
+            hyps, conf = so3.split_hypotheses(
+                rot_raw, cfg.model.rot_rep_dim, cfg.model.num_rot_hyp
+            )
+            R_all = so3.head_to_mat(hyps, cfg.model.rot_rep)  # (B, k, 3, 3)
+            return R_all, jax.nn.softmax(conf, axis=-1), trans_res + mean
+
+        self._predict_hyps = _predict_hyps
         if self.obj_models is not None:
             models = np.asarray(self.obj_models[..., :3], np.float32)
 
@@ -161,6 +184,22 @@ class Predictor:
     def predict_full(self, segments, class_ids):
         """Also return the axis-angle and the reconstructed clean segment."""
         return self._predict(
+            self.variables, jnp.asarray(segments), jnp.asarray(class_ids)
+        )
+
+    def predict_hypotheses(self, segments, class_ids):
+        """All k rotation hypotheses with their confidences.
+
+        (B, N, 3) segments + (B,) class ids ->
+        ((B, k, 3, 3) rotations, (B, k) softmax confidences, (B, 3) t).
+        ``self(segments, class_ids)`` returns exactly the confidence-argmax
+        row of this output (docs/MULTIHYP.md: selection at inference); the
+        full set serves downstream selectors with better evidence — e.g.
+        evaluate.make_eval_forward scores every hypothesis with the trimmed
+        segment alignment residual under the ICP gate.  For k = 1 the
+        confidence is identically 1.
+        """
+        return self._predict_hyps(
             self.variables, jnp.asarray(segments), jnp.asarray(class_ids)
         )
 

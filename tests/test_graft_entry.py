@@ -22,7 +22,9 @@ def test_entry_compiles():
     out = jax.jit(fn)(*args)
     jax.block_until_ready(out)
     recon, rot, trans = out
-    assert rot.shape[-1] == 3 and trans.shape[-1] == 3
+    # flagship head: 4 hypotheses x (6d rep + confidence logit)
+    # (docs/MULTIHYP.md; so3.split_hypotheses)
+    assert rot.shape[-1] == 4 * (6 + 1) and trans.shape[-1] == 3
     assert recon.ndim == 3 and recon.shape[-1] == 3
 
 
