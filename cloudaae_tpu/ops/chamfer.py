@@ -85,8 +85,15 @@ def _min_argmin_pallas(x: jnp.ndarray, y: jnp.ndarray, chunk: int):
     n = x.shape[1]
     m = y.shape[1]
     chunk = min(chunk, _round_up(n, 8))
-    n_pad = _round_up(n, chunk)
     m_pad = _round_up(m, 128)
+    # scoped-VMEM budget: the kernel keeps ~one (chunk, M) f32 distance
+    # tile (plus iota/one-hot temps) on the stack; the TPU scoped limit is
+    # 16 MB and chunk=256 x M=16384 was measured to OOM at 18.36 MB.  Cap
+    # the row chunk so chunk*M*4B <= 8 MB (half the limit, leaving room
+    # for the temps); M <= 8192 keeps the default chunk unchanged.
+    vmem_rows = max(8, (2 * 1024 * 1024 // m_pad) // 8 * 8)
+    chunk = min(chunk, vmem_rows)
+    n_pad = _round_up(n, chunk)
     dist, idx, nn = nn_min_argmin_pallas(
         _pad_axis(x, 1, n_pad), _pad_axis(y, 1, m_pad), m_actual=m, chunk=chunk
     )
