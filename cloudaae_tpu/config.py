@@ -329,6 +329,16 @@ class EvalConfig:
     # shifted pose has ~zero segment overlap, so the residual gate
     # separates it from the true pose by orders of magnitude).
     icp_centroid_start: bool = True
+    # Multi-hypothesis selection (ModelConfig.num_rot_hyp > 1): score every
+    # rotation hypothesis with the trimmed model->segment alignment
+    # residual and keep the best, in the ICP-off path too.  The residual
+    # needs only the observed depth segment (inference-legal, no GT) and
+    # beats the near-uniform trained confidence wherever the view
+    # determines the mode — measured mug 36.9 -> 23.9 deg, scissors
+    # 25.1 -> 11.5 on the round-5 flagship (runs/analyze_hyps_r5c.json;
+    # selector comparison incl. the segment->model direction in
+    # docs/MULTIHYP.md).  False restores confidence-argmax selection.
+    hyp_residual_select: bool = True
     add_threshold: float = 0.02                # ADD <2cm convention
     add_threshold_diameter_frac: float = 0.1   # ADD <0.1d convention
 

@@ -184,14 +184,23 @@ def make_eval_forward(model, cfg: Config, obj_models: np.ndarray, icp: bool,
         k_hyp = cfg.model.num_rot_hyp
         if k_hyp > 1:
             # multi-hypothesis head: pick ONE hypothesis before any metric.
-            # With the ICP acceptance gate the selector is the trimmed
-            # model->segment alignment residual (the same evidence that
-            # gates refinement); without it, the trained confidence head.
+            # Selector: the trimmed model->segment alignment residual (the
+            # same depth-only evidence that gates refinement;
+            # EvalConfig.hyp_residual_select, on in the ICP-off path too).
+            # Measured against the alternatives on the 5 ambiguity classes
+            # (runs/analyze_hyps_r5c.json; docs/MULTIHYP.md): it beats the
+            # trained confidence (near-uniform) and edges the segment->
+            # model direction (ops.icp.hypothesis_residual); on frames
+            # where the view genuinely does not determine the mode no
+            # selector can do better (the hypothesis oracle caps it).
+            # The trained confidence head is the fallback selector when
+            # residual selection is disabled (and the only one in
+            # infer.Predictor, which may not have object models).
             hyps, conf = so3.split_hypotheses(
                 rot_pred[0], cfg.model.rot_rep_dim, k_hyp
             )
             R_all = so3.head_to_mat(hyps, cfg.model.rot_rep)  # (k, 3, 3)
-            if icp and cfg.eval.icp_accept_gate:
+            if cfg.eval.hyp_residual_select or (icp and cfg.eval.icp_accept_gate):
                 from cloudaae_tpu.ops.icp import alignment_residual
 
                 res_h = jax.vmap(

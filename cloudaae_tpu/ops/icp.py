@@ -72,6 +72,53 @@ def alignment_residual(
     return jnp.mean(jnp.sort(sq)[:k])
 
 
+def hypothesis_residual(
+    model: jnp.ndarray,
+    segment: jnp.ndarray,
+    R: jnp.ndarray,
+    t: jnp.ndarray,
+    segment_mask: jnp.ndarray | None = None,
+    keep_frac: float = 0.9,
+) -> jnp.ndarray:
+    """Trimmed SEGMENT->model residual of a pose (scalar, m^2).
+
+    The complementary direction to :func:`alignment_residual`: every
+    OBSERVED depth point must lie on the hypothesized surface, so a pose
+    that hides a distinctive part (a marker's clip, a mug handle) that is
+    actually in view pays for every observed point of that part, with no
+    hidden-half trim — ``keep_frac`` only sheds sensor-noise/boundary
+    outliers (default 0.9 of the VALID segment points).  Measured as a
+    rotation-hypothesis selector on the round-5 flagship
+    (runs/analyze_hyps_r5c.json; docs/MULTIHYP.md): ~equal to the
+    model->segment direction overall (mean 39.0 vs 37.9 deg over the five
+    ambiguity classes — better on pitcher, worse on marker/brick, whose
+    wrong modes are view-equivalent from most single views and thus
+    undecidable from depth alone), so the eval selector stays
+    :func:`alignment_residual`; this direction ships as the documented
+    alternative for segments with reliable full coverage.
+
+    Jit-friendly with a padded ``segment`` + ``segment_mask``: invalid
+    rows sort to the tail as +inf and the trimmed mean is a dynamic-index
+    gather into the cumulative sum.
+    """
+    moved = _mm(model, R.T) + t
+    d = (
+        jnp.sum(jnp.square(segment), axis=-1, keepdims=True)
+        - 2.0 * jnp.matmul(segment, moved.T, precision=lax.Precision.HIGHEST)
+        + jnp.sum(jnp.square(moved), axis=-1)[None, :]
+    )
+    sq = jnp.maximum(jnp.min(d, axis=-1), 0.0)                   # (S,)
+    if segment_mask is None:  # static trim count
+        k = max(int(keep_frac * segment.shape[0]), 1)
+        return jnp.mean(jnp.sort(sq)[:k])
+    sq = jnp.where(segment_mask, sq, jnp.inf)
+    nv = jnp.sum(segment_mask.astype(jnp.int32))
+    s_sorted = jnp.sort(sq)
+    cs = jnp.cumsum(jnp.where(jnp.isfinite(s_sorted), s_sorted, 0.0))
+    k = jnp.clip((keep_frac * nv).astype(jnp.int32), 1, segment.shape[0])
+    return jnp.take(cs, k - 1) / k.astype(cs.dtype)
+
+
 def icp_point_to_point(
     model: jnp.ndarray,
     segment: jnp.ndarray,

@@ -46,8 +46,10 @@ def _gate_note(cfg, args) -> str:
     k = cfg.model.num_rot_hyp
     if k > 1:
         note += (
-            f"  Rotation head: {k} hypotheses (selection: confidence "
-            "argmax; under the ICP gate: trimmed alignment residual)."
+            f"  Rotation head: {k} hypotheses (selection: trimmed "
+            f"alignment residual [hyp_residual_select="
+            f"{e.hyp_residual_select}], depth-only, ICP-off and -on; "
+            "docs/MULTIHYP.md)."
         )
     return note
 
@@ -60,6 +62,7 @@ def _gate_dict(cfg) -> dict:
         "icp_gate_keep_frac": e.icp_gate_keep_frac,
         "icp_iterations": e.icp_iterations,
         "num_rot_hyp": cfg.model.num_rot_hyp,
+        "hyp_residual_select": cfg.eval.hyp_residual_select,
     }
 
 

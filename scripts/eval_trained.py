@@ -219,6 +219,7 @@ def main():
         "icp_gate_keep_frac": cfg.eval.icp_gate_keep_frac,
         "icp_iterations": cfg.eval.icp_iterations,
         "num_rot_hyp": cfg.model.num_rot_hyp,
+        "hyp_residual_select": cfg.eval.hyp_residual_select,
     }
 
     # machine-readable dump next to the markdown (repro_results consumers)
@@ -272,8 +273,9 @@ def main():
         if cfg.model.num_rot_hyp > 1:
             gate_note += (
                 f"  Rotation head: {cfg.model.num_rot_hyp} hypotheses "
-                "(selection: confidence argmax; under the ICP gate: "
-                "trimmed alignment residual)."
+                "(selection: trimmed alignment residual "
+                f"[hyp_residual_select={cfg.eval.hyp_residual_select}], "
+                "depth-only, ICP-off and -on; docs/MULTIHYP.md)."
             )
         f.write(
             f"Protocol: full real-data eval pipeline on {args.frames} "

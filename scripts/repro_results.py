@@ -20,13 +20,17 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# The flagship full-SO(3) checkpoint: 90-epoch --generate-poses
-# --rot-rep 6d --sym-loss run (epochs 0-57 in runs/21/6d/20260820-013359,
-# resumed to completion at step 268200 in 20260820-052144), finetuned in
-# round 4 for 14 epochs with the depth-view-extended symmetry loss
-# (--sym-view, lr 2e-4) to step ~309.9k in runs/21/6d/20260821-060344
-# (runs/train_ycb_ft.out).
-FLAGSHIP = "runs/21/6d/20260821-060344/params_latest.npz"
+# The flagship full-SO(3) checkpoint.  Round 5: the 4-hypothesis rotation
+# head (docs/MULTIHYP.md) trained 45 epochs (134.1k steps) under the
+# product-verified view-extended symmetry table — encoder/decoder/
+# translation head/rot trunk warm-started from the round-4 flagship
+# (runs/21/6d/20260821-120837, step 357.6k), k-output layer fresh
+# (--rot-hyp 4 --sym-loss --sym-view, lr 2e-4; legs
+# runs/21/6d/20260821-155207 then -190034, runs/round5_pipeline.out).
+# Round-4 lineage: 90-epoch --generate-poses --rot-rep 6d --sym-loss run
+# (20260820-013359 -> 20260820-052144, step 268200) + --sym-view
+# finetunes (20260821-060344, -120837).
+FLAGSHIP = "runs/21/6d/20260821-190034/params_latest.npz"
 
 ALL_CLASSES = [str(c) for c in range(21)]
 

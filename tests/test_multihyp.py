@@ -173,13 +173,15 @@ def test_train_step_multihyp_runs(obj_models):  # noqa: F811
 
 
 def test_eval_forward_selects_confidence_argmax(obj_models):  # noqa: F811
-    """ICP-off eval must report the confidence-selected hypothesis."""
+    """With residual selection disabled, ICP-off eval reports the
+    confidence-selected hypothesis (the fallback selector)."""
     from cloudaae_tpu import so3
     from cloudaae_tpu.evaluate import make_eval_forward
 
     cfg = tiny_config()
     cfg = dataclasses.replace(
-        cfg, model=dataclasses.replace(cfg.model, num_rot_hyp=4, rot_rep="6d")
+        cfg, model=dataclasses.replace(cfg.model, num_rot_hyp=4, rot_rep="6d"),
+        eval=dataclasses.replace(cfg.eval, hyp_residual_select=False),
     )
     model = make_model(cfg.model)
     state = create_train_state(model, cfg, jax.random.key(0))
@@ -286,3 +288,82 @@ def test_predictor_hypotheses_surface(obj_models):  # noqa: F811
         np.testing.assert_allclose(
             R_sel[b], R_all[b, int(np.argmax(conf[b]))], atol=1e-5
         )
+
+
+def test_eval_forward_residual_select_icp_off(obj_models):  # noqa: F811
+    """Default ICP-off eval selects the hypothesis whose trimmed
+    model->segment alignment residual is lowest (EvalConfig.
+    hyp_residual_select) — depth-only evidence, no ground truth."""
+    from cloudaae_tpu import so3
+    from cloudaae_tpu.evaluate import make_eval_forward
+    from cloudaae_tpu.ops.icp import alignment_residual
+
+    cfg = tiny_config()
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, num_rot_hyp=4, rot_rep="6d")
+    )
+    assert cfg.eval.hyp_residual_select  # the default
+    model = make_model(cfg.model)
+    state = create_train_state(model, cfg, jax.random.key(0))
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    fwd = make_eval_forward(model, cfg, obj_models, icp=False)
+
+    rng = np.random.default_rng(9)
+    seg = jnp.asarray(
+        (obj_models[1][:64] + rng.normal(0, 0.001, (64, 3))
+         + np.array([0, 0, 0.7])).astype(np.float32)
+    )
+    quat = jnp.asarray(np.array([1.0, 0, 0, 0], np.float32))
+    tgt = jnp.asarray(np.array([0, 0, 0.7], np.float32))
+    out = jax.device_get(
+        fwd(variables, seg, seg, jnp.ones(64, bool), jnp.asarray(1),
+            quat, tgt, jax.random.key(2))
+    )
+
+    # recompute hypotheses + residuals by hand
+    mean = jnp.mean(seg, axis=0)
+    onehot = jax.nn.one_hot(1, cfg.model.num_class)
+    net_in = jnp.concatenate(
+        [seg - mean, jnp.broadcast_to(onehot, (64, cfg.model.num_class))],
+        axis=-1,
+    )[None]
+    _, rot_pred, trans_res, _ = model.apply(variables, net_in)
+    t_pred = trans_res[0] + mean
+    hyps, _ = so3.split_hypotheses(rot_pred[0], 6, 4)
+    R_all = so3.head_to_mat(hyps, "6d")
+    mdl = jnp.asarray(np.asarray(obj_models[..., :3], np.float32))[1]
+    res = np.asarray([
+        float(alignment_residual(
+            mdl, seg, R_all[h], t_pred, segment_mask=jnp.ones(64, bool),
+            keep_frac=cfg.eval.icp_gate_keep_frac,
+        ))
+        for h in range(4)
+    ])
+    R_sel = np.asarray(R_all)[int(np.argmin(res))]
+    R_out = np.asarray(so3.exp_map(jnp.asarray(out["rot_pred"])))
+    np.testing.assert_allclose(R_out, R_sel, atol=2e-2)
+
+
+def test_hypothesis_residual_flags_flipped_pose(obj_models):  # noqa: F811
+    """ops.icp.hypothesis_residual: the segment->model residual is ~0 at
+    the true pose and pays for a flip that moves observed surface; padded
+    rows (mask False) never contribute."""
+    from cloudaae_tpu.ops.icp import hypothesis_residual
+    from scipy.spatial.transform import Rotation
+
+    mdl = jnp.asarray(np.asarray(obj_models[1, :, :3], np.float32))
+    n = mdl.shape[0]
+    t = jnp.asarray(np.array([0, 0, 0.7], np.float32))
+    seg = mdl + t
+    segp = jnp.concatenate([seg, jnp.full((64, 3), 1e3, jnp.float32)])
+    mask = jnp.concatenate([jnp.ones(n, bool), jnp.zeros(64, bool)])
+    r_true = float(jax.jit(hypothesis_residual)(mdl, segp, jnp.eye(3), t, mask))
+    Rf = jnp.asarray(
+        Rotation.from_euler("x", 180, degrees=True).as_matrix().astype(np.float32)
+    )
+    r_flip = float(jax.jit(hypothesis_residual)(mdl, segp, Rf, t, mask))
+    assert r_true < 1e-8
+    assert r_flip > 10 * max(r_true, 1e-9)
+    # unmasked call with only the valid rows agrees
+    r_nomask = float(hypothesis_residual(mdl, seg, jnp.eye(3), t))
+    np.testing.assert_allclose(r_true, r_nomask, atol=1e-9)
